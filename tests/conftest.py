@@ -32,10 +32,16 @@ def _restore_real_stdout():
             st = os.fstat(fd)
         except OSError:
             continue
-        if stat.S_ISFIFO(st.st_mode) or stat.S_ISCHR(st.st_mode):
-            os.dup2(fd, 1)
-            os.dup2(fd, 2)
-            return
+        if not (stat.S_ISFIFO(st.st_mode) or stat.S_ISCHR(st.st_mode)):
+            continue
+        try:
+            if os.readlink(f"/proc/self/fd/{fd}") == "/dev/null":
+                continue  # pytest's saved stdin dup
+        except OSError:
+            pass
+        os.dup2(fd, 1)
+        os.dup2(fd, 2)
+        return
 
 
 if "axon" in os.environ.get("PYTHONPATH", "") and not os.environ.get(

@@ -1,0 +1,26 @@
+"""dojo_tpu — TPU-native differentiable contact physics + MPC engine.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the
+reference maximal-coordinate variational-integrator engine (Dojo):
+batched fixed-shape Mehrotra interior-point contact solves under jit/vmap,
+implicit-function-theorem gradients through contact, a model/environment
+zoo, and multi-chip scaling via jax.sharding meshes.
+"""
+
+from . import lie
+from .builder import (
+    Body,
+    ContactDef,
+    JointDef,
+    Mechanism,
+    box_body,
+    build,
+    cylinder_body,
+    sphere_body,
+)
+from .core import BodyState, Params, SolverOptions, Topology, REG
+from .residual import make_context, make_residual, pad_inputs
+from .simulate import StepInfo, Trajectory, make_simulate, make_step
+from .solver import SolveResult, make_solver
+
+__version__ = "0.1.0"

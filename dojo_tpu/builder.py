@@ -1,0 +1,353 @@
+"""Mechanism construction: bodies + joint prototypes + contacts → (Topology, Params).
+
+Mirrors the reference constructors (src/mechanism/constructor.jl:46-84,
+src/joints/prototypes.jl, src/contacts/constructor.jl:68-131) but compiles
+everything down to the masked array form of core.py at build time
+(host-side NumPy; nothing here is traced).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import lie
+from .core import CONTACT_WIDTH, BodyState, Params, Topology
+
+# joint kind → (Nλ_tra, Nλ_rot); complement of prototypes.jl
+# nullspace_dimension table (:482-499)
+KIND_NLAM = {
+    "fixed": (3, 3),
+    "prismatic": (2, 3),
+    "planar": (1, 3),
+    "fixed_orientation": (0, 3),
+    "revolute": (3, 2),
+    "cylindrical": (2, 2),
+    "planar_axis": (1, 2),
+    "free_revolute": (0, 2),
+    "orbital": (3, 1),
+    "prismatic_orbital": (2, 1),
+    "planar_orbital": (1, 1),
+    "free_orbital": (0, 1),
+    "spherical": (3, 0),
+    "cylindrical_free": (2, 0),
+    "planar_free": (1, 0),
+    "floating": (0, 0),
+}
+
+
+@dataclasses.dataclass
+class Body:
+    name: str
+    mass: float
+    inertia: np.ndarray  # (3,3) or (3,) diagonal
+    shape: Optional[dict] = None  # visualization metadata
+
+    def inertia_matrix(self):
+        J = np.asarray(self.inertia, dtype=np.float64)
+        return np.diag(J) if J.ndim == 1 else J
+
+
+def box_body(name, x, y, z, mass, **kw):
+    """Box inertia (reference bodies/shapes.jl Box:67-104)."""
+    J = mass / 12.0 * np.diag([y**2 + z**2, x**2 + z**2, x**2 + y**2])
+    return Body(name, mass, J, shape={"type": "box", "xyz": (x, y, z)}, **kw)
+
+
+def cylinder_body(name, r, h, mass, **kw):
+    J = mass * np.diag(
+        [(3 * r**2 + h**2) / 12, (3 * r**2 + h**2) / 12, r**2 / 2]
+    )
+    return Body(name, mass, J, shape={"type": "cylinder", "rh": (r, h)})
+
+
+def sphere_body(name, r, mass, **kw):
+    J = mass * 2.0 / 5.0 * r**2 * np.eye(3)
+    return Body(name, mass, J, shape={"type": "sphere", "r": r})
+
+
+@dataclasses.dataclass
+class JointDef:
+    kind: str
+    parent: str  # body name or 'origin'
+    child: str
+    axis: Sequence = (1.0, 0.0, 0.0)
+    parent_vertex: Sequence = (0.0, 0.0, 0.0)
+    child_vertex: Sequence = (0.0, 0.0, 0.0)
+    orientation_offset: Sequence = (1.0, 0.0, 0.0, 0.0)
+    spring: float = 0.0
+    damper: float = 0.0
+    tra_spring_offset: Optional[Sequence] = None
+    rot_spring_offset: Optional[Sequence] = None
+    tra_limits: Optional[tuple] = None  # (lo, hi) arrays over free tra coords
+    rot_limits: Optional[tuple] = None
+    name: Optional[str] = None
+
+
+@dataclasses.dataclass
+class ContactDef:
+    body: str
+    kind: str = "nonlinear"  # 'nonlinear' | 'linear' | 'impact'
+    normal: Sequence = (0.0, 0.0, 1.0)
+    friction: float = 1.0
+    origin: Sequence = (0.0, 0.0, 0.0)  # contact point in body frame
+    radius: float = 0.0
+    offset: Sequence = (0.0, 0.0, 0.0)  # halfspace offset in world frame
+    name: Optional[str] = None
+
+
+def _masks(axis, nlam):
+    """constraint/nullspace mask rows (joints/joint.jl:56-64), zero-padded."""
+    v1, v2, v3 = lie.orthogonal_rows(np.asarray(axis, dtype=np.float64))
+    c = np.zeros((3, 3))
+    n = np.zeros((3, 3))
+    if nlam == 0:
+        n[:] = np.eye(3)
+    elif nlam == 1:
+        c[0] = v3
+        n[0], n[1] = v1, v2
+    elif nlam == 2:
+        c[0], c[1] = v1, v2
+        n[0] = v3
+    else:
+        c[:] = np.eye(3)
+    lam_mask = np.zeros(3)
+    lam_mask[:nlam] = 1.0
+    free_mask = np.zeros(3)
+    free_mask[: 3 - nlam] = 1.0
+    return c, n, lam_mask, free_mask
+
+
+class Mechanism:
+    """Compiled mechanism: static topology + parameter pytree + name maps.
+
+    The analog of the reference Mechanism (src/mechanism/constructor.jl:19-44)
+    with static type parameters replaced by `Topology` and all numeric model
+    data in the `Params` pytree.
+    """
+
+    def __init__(self, topo, params, body_names, joint_names, contact_names,
+                 joint_defs, body_shapes=None):
+        self.topo = topo
+        self.params = params
+        self.body_names = list(body_names)
+        self.joint_names = list(joint_names)
+        self.contact_names = list(contact_names)
+        self.joint_defs = joint_defs
+        self.body_shapes = body_shapes or [None] * len(body_names)
+        self.body_index = {n: i for i, n in enumerate(body_names)}
+        self.joint_index = {n: i for i, n in enumerate(joint_names)}
+
+    # -- convenience -------------------------------------------------------
+    @property
+    def input_dim(self):
+        return self.topo.input_dim
+
+    @property
+    def minimal_dim(self):
+        return self.topo.minimal_dim
+
+    @property
+    def timestep(self):
+        return float(self.params.timestep)
+
+    def zero_state(self) -> BodyState:
+        """Zero-coordinate forward-kinematics placement
+        (reference zero_coordinates!, mechanism/set.jl:94-107)."""
+        nb = self.topo.nb
+        x = np.zeros((nb, 3))
+        q = np.tile(np.array([1.0, 0, 0, 0]), (nb, 1))
+        pv = np.asarray(self.params.tra_vertex_parent)
+        cv = np.asarray(self.params.tra_vertex_child)
+        off = np.asarray(self.params.rot_offset)
+        for j in self.topo.root_to_leaves:
+            if j in self.topo.loop_joints:
+                continue
+            p, c = self.topo.joint_parent[j], self.topo.joint_child[j]
+            xa = np.zeros(3) if p < 0 else x[p]
+            qa = np.array([1.0, 0, 0, 0]) if p < 0 else q[p]
+            qb = np.asarray(lie.qmul(qa, off[j]))
+            xb = (
+                xa
+                + np.asarray(lie.rotate(pv[j], qa))
+                - np.asarray(lie.rotate(cv[j], qb))
+            )
+            x[c], q[c] = xb, qb
+        dtype = np.asarray(self.params.mass).dtype
+        return BodyState(
+            x=jnp.asarray(x, dtype),
+            q=jnp.asarray(q, dtype),
+            v=jnp.zeros((nb, 3), dtype),
+            w=jnp.zeros((nb, 3), dtype),
+        )
+
+
+def build(
+    bodies: Sequence[Body],
+    joints: Sequence[JointDef],
+    contacts: Sequence[ContactDef] = (),
+    timestep: float = 0.01,
+    gravity=(0.0, 0.0, -9.81),
+    dtype=None,
+) -> Mechanism:
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
+    nb, nj, nc = len(bodies), len(joints), len(contacts)
+    body_names = [b.name for b in bodies]
+    bidx = {"origin": -1, "world": -1}
+    bidx.update({n: i for i, n in enumerate(body_names)})
+
+    # limit pad width
+    maxlim = 0
+    for jd in joints:
+        for lim, (nfree) in ((jd.tra_limits, 3 - KIND_NLAM[jd.kind][0]),
+                             (jd.rot_limits, 3 - KIND_NLAM[jd.kind][1])):
+            if lim is not None:
+                maxlim = max(maxlim, len(np.atleast_1d(lim[0])))
+    cw = max((CONTACT_WIDTH[c.kind] for c in contacts), default=0)
+
+    # topology ordering: BFS from origin (traversal.jl root_to_leaves)
+    children = {}
+    for j, jd in enumerate(joints):
+        children.setdefault(bidx[jd.parent], []).append(j)
+    order, seen_bodies, loop = [], {-1}, []
+    frontier = [-1]
+    while frontier:
+        b = frontier.pop(0)
+        for j in children.get(b, []):
+            c = bidx[joints[j].child]
+            if c in seen_bodies:
+                loop.append(j)
+                continue
+            order.append(j)
+            seen_bodies.add(c)
+            frontier.append(c)
+    for j in range(nj):  # loop-closing joints appended last
+        if j not in order:
+            if j not in loop:
+                loop.append(j)
+            order.append(j)
+
+    topo = Topology(
+        nb=nb,
+        nj=nj,
+        nc=nc,
+        maxlim=maxlim,
+        cw=cw,
+        joint_parent=tuple(bidx[j.parent] for j in joints),
+        joint_child=tuple(bidx[j.child] for j in joints),
+        contact_parent=tuple(bidx[c.body] for c in contacts),
+        contact_child=tuple(-1 for _ in contacts),
+        contact_kind=tuple(c.kind for c in contacts),
+        tra_nfree=tuple(3 - KIND_NLAM[j.kind][0] for j in joints),
+        rot_nfree=tuple(3 - KIND_NLAM[j.kind][1] for j in joints),
+        root_to_leaves=tuple(order),
+        loop_joints=tuple(loop),
+    )
+
+    # joint parameter arrays
+    def zeros(*s):
+        return np.zeros(s)
+
+    tra_cmask, tra_nmask = zeros(nj, 3, 3), zeros(nj, 3, 3)
+    rot_cmask, rot_nmask = zeros(nj, 3, 3), zeros(nj, 3, 3)
+    tra_lam, tra_free = zeros(nj, 3), zeros(nj, 3)
+    rot_lam, rot_free = zeros(nj, 3), zeros(nj, 3)
+    tvp, tvc = zeros(nj, 3), zeros(nj, 3)
+    roff = np.tile(np.array([1.0, 0, 0, 0]), (nj, 1))
+    t_spring, t_damper = zeros(nj), zeros(nj)
+    r_spring, r_damper = zeros(nj), zeros(nj)
+    t_soff, r_soff = zeros(nj, 3), zeros(nj, 3)
+    ML = max(maxlim, 0)
+    t_lo, t_hi, t_lm = zeros(nj, ML), zeros(nj, ML), zeros(nj, ML)
+    r_lo, r_hi, r_lm = zeros(nj, ML), zeros(nj, ML), zeros(nj, ML)
+
+    for j, jd in enumerate(joints):
+        nl_t, nl_r = KIND_NLAM[jd.kind]
+        tra_cmask[j], tra_nmask[j], tra_lam[j], tra_free[j] = _masks(jd.axis, nl_t)
+        rot_cmask[j], rot_nmask[j], rot_lam[j], rot_free[j] = _masks(jd.axis, nl_r)
+        tvp[j] = np.asarray(jd.parent_vertex, dtype=np.float64)
+        tvc[j] = np.asarray(jd.child_vertex, dtype=np.float64)
+        o = np.asarray(jd.orientation_offset, dtype=np.float64)
+        roff[j] = o / np.linalg.norm(o)
+        t_spring[j] = r_spring[j] = jd.spring
+        t_damper[j] = r_damper[j] = jd.damper
+        if jd.tra_spring_offset is not None:
+            t_soff[j, : 3 - nl_t] = np.atleast_1d(jd.tra_spring_offset)
+        if jd.rot_spring_offset is not None:
+            r_soff[j, : 3 - nl_r] = np.atleast_1d(jd.rot_spring_offset)
+        if jd.tra_limits is not None:
+            lo, hi = (np.atleast_1d(v) for v in jd.tra_limits)
+            t_lo[j, : len(lo)], t_hi[j, : len(hi)] = lo, hi
+            t_lm[j, : len(lo)] = 1.0
+        if jd.rot_limits is not None:
+            lo, hi = (np.atleast_1d(v) for v in jd.rot_limits)
+            r_lo[j, : len(lo)], r_hi[j, : len(hi)] = lo, hi
+            r_lm[j, : len(lo)] = 1.0
+
+    # contact parameter arrays (orthogonal_columns → normal/tangent rows,
+    # reference nonlinear.jl:28-45)
+    c_fric, c_rad = zeros(nc), zeros(nc)
+    c_norm, c_orig, c_off = zeros(nc, 3), zeros(nc, 3), zeros(nc, 3)
+    c_tan = zeros(nc, 2, 3)
+    for c, cd in enumerate(contacts):
+        v1, v2, v3 = lie.orthogonal_rows(np.asarray(cd.normal, dtype=np.float64))
+        A = np.stack([v1, v2, v3], axis=1)  # columns
+        Ainv = np.linalg.inv(A)
+        c_norm[c] = Ainv[2]
+        c_tan[c] = Ainv[:2]
+        c_fric[c] = cd.friction
+        c_orig[c] = np.asarray(cd.origin, dtype=np.float64)
+        c_rad[c] = cd.radius
+        c_off[c] = np.asarray(cd.offset, dtype=np.float64)
+
+    a = lambda x: jnp.asarray(x, dtype)
+    params = Params(
+        mass=a([b.mass for b in bodies]),
+        inertia=a(np.stack([b.inertia_matrix() for b in bodies]))
+        if nb
+        else a(zeros(0, 3, 3)),
+        tra_cmask=a(tra_cmask),
+        tra_nmask=a(tra_nmask),
+        tra_lam_mask=a(tra_lam),
+        tra_free_mask=a(tra_free),
+        tra_vertex_parent=a(tvp),
+        tra_vertex_child=a(tvc),
+        tra_spring=a(t_spring),
+        tra_damper=a(t_damper),
+        tra_spring_offset=a(t_soff),
+        tra_lim_lo=a(t_lo),
+        tra_lim_hi=a(t_hi),
+        tra_lim_mask=a(t_lm),
+        rot_cmask=a(rot_cmask),
+        rot_nmask=a(rot_nmask),
+        rot_lam_mask=a(rot_lam),
+        rot_free_mask=a(rot_free),
+        rot_offset=a(roff),
+        rot_spring=a(r_spring),
+        rot_damper=a(r_damper),
+        rot_spring_offset=a(r_soff),
+        rot_lim_lo=a(r_lo),
+        rot_lim_hi=a(r_hi),
+        rot_lim_mask=a(r_lm),
+        contact_friction=a(c_fric),
+        contact_normal=a(c_norm),
+        contact_tangent=a(c_tan),
+        contact_origin=a(c_orig),
+        contact_radius=a(c_rad),
+        contact_offset=a(c_off),
+        gravity=a(np.asarray(gravity, dtype=np.float64)),
+        timestep=a(timestep),
+    )
+    return Mechanism(
+        topo,
+        params,
+        body_names,
+        [jd.name or f"joint_{i}" for i, jd in enumerate(joints)],
+        [cd.name or f"contact_{i}" for i, cd in enumerate(contacts)],
+        list(joints),
+        [b.shape for b in bodies],
+    )

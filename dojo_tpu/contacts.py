@@ -1,0 +1,119 @@
+"""Contact models: sphere–halfspace collision, impact / linear / nonlinear cones.
+
+Reference: src/contacts/ (contact.jl, impact.jl, linear.jl, nonlinear.jl,
+velocity.jl, collisions/sphere_halfspace.jl).  Single-contact functions,
+vmapped by the residual.
+
+Contact block layout in w (width CW): [s(CW/2); γ(CW/2)] —
+s = impulses_dual, γ = impulses (reference constructor.jl:14-43).
+  nonlinear (CW=8): s = [s_d, s_ψ, s_t1, s_t2], γ = [γ_n, γ_ψ, β1, β2]
+    cones: (s_d, γ_n) positive orthant; (s[1:4], γ[1:4]) second-order cones.
+  impact (CW=2): single orthant pair.
+  linear (CW=12): 6 orthant pairs (pyramidal cone).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import lie
+
+# friction parameterization of the linearized cone (reference linear.jl:181-186)
+LINEAR_PARAM = jnp.array([[0.0, 1.0], [0.0, -1.0], [1.0, 0.0], [-1.0, 0.0]])
+
+
+def halfspace_distance(cp, x, q):
+    """Signed distance (collisions/sphere_halfspace.jl:34-36)."""
+    world = x + lie.rotate(cp["contact_origin"], q) - cp["contact_offset"]
+    return cp["contact_normal"] @ world - cp["contact_radius"]
+
+
+def halfspace_contact_point(cp, x, q):
+    """World contact point on the parent body (sphere_halfspace.jl:57-63)."""
+    return (
+        x
+        + lie.rotate(cp["contact_origin"], q)
+        - cp["contact_offset"]
+        - cp["contact_normal"] * cp["contact_radius"]
+    )
+
+
+def contact_point_velocity(x, q, v, w, c):
+    """v + ω_world × (c − x) (velocity.jl:2-4)."""
+    return v + jnp.cross(lie.rotate(w, q), c - x)
+
+
+def tangential_velocity(cp, x, q, v, w):
+    """Relative tangential velocity vs. the static halfspace (velocity.jl:29-41)."""
+    c = halfspace_contact_point(cp, x, q)
+    return cp["contact_tangent"] @ contact_point_velocity(x, q, v, w, c)
+
+
+def impulse_wrench(cp, kind, x3, q3, gamma):
+    """Body wrench from contact impulses γ, evaluated at the *next* config
+    (reference contact.jl impulse_map:86-105, called with next_configuration).
+
+    Returns a 6-vector [F_world; τ_body] applied to the parent body.
+    """
+    n = cp["contact_normal"]
+    if kind == "impact":
+        force = n * gamma[0]
+    elif kind == "nonlinear":
+        force = n * gamma[0] + cp["contact_tangent"].T @ gamma[2:4]
+    elif kind == "linear":
+        force = n * gamma[0] + cp["contact_tangent"].T @ (LINEAR_PARAM.T @ gamma[2:6])
+    else:
+        raise ValueError(kind)
+    c = halfspace_contact_point(cp, x3, q3)
+    torque = lie.rotate_inv(jnp.cross(c - x3, force), q3)
+    return jnp.concatenate([force, torque])
+
+
+def constraint_rows(cp, kind, x3, q3, v25, w25, s, gamma):
+    """The CW/2 'constraint' rows of the contact residual.
+
+    nonlinear (nonlinear.jl:56-79): [d − s₀; μγ₀ − γ₁; P vt − s₂₃]
+    impact    (impact.jl:48-62):    [d − s₀]
+    linear    (linear.jl:224-256):  [d − s₀; μγ₀ − Σβ − s₁; P vt + ψ𝟙 − s₂:₅]
+    """
+    d = halfspace_distance(cp, x3, q3)
+    if kind == "impact":
+        return jnp.stack([d - s[0]])
+    vt = tangential_velocity(cp, x3, q3, v25, w25)
+    mu = cp["contact_friction"]
+    if kind == "nonlinear":
+        return jnp.concatenate(
+            [jnp.stack([d - s[0], mu * gamma[0] - gamma[1]]), vt - s[2:4]]
+        )
+    # linear
+    psi = gamma[1]
+    beta = gamma[2:6]
+    return jnp.concatenate(
+        [
+            jnp.stack([d - s[0], mu * gamma[0] - jnp.sum(beta) - s[1]]),
+            LINEAR_PARAM @ vt + psi - s[2:6],
+        ]
+    )
+
+
+def complementarity(kind, s, gamma):
+    """Cone products (complementarity.jl:16-25): elementwise for orthants,
+    SOC product for the nonlinear friction cone."""
+    if kind == "nonlinear":
+        soc = cone_product(gamma[1:4], s[1:4])
+        return jnp.concatenate([jnp.stack([gamma[0] * s[0]]), soc])
+    return s * gamma
+
+
+def neutral_vector(kind, nhalf, dtype):
+    """Cone-neutral reset point (contact.jl:197, nonlinear.jl:99)."""
+    if kind == "nonlinear":
+        return jnp.array([1.0, 1.0, 0.0, 0.0], dtype=dtype)
+    return jnp.ones((nhalf,), dtype=dtype)
+
+
+def cone_product(u, v):
+    """Second-order cone product [uᵀv; u₀v₁: + v₀u₁:] (cone.jl:2-8)."""
+    return jnp.concatenate(
+        [jnp.sum(u * v, keepdims=True), u[0] * v[1:] + v[0] * u[1:]]
+    )

@@ -1,0 +1,100 @@
+"""One-step and rollout drivers (reference src/simulation/simulate.jl, step.jl).
+
+``make_step(topo)`` returns the fully-traced one-step dynamics; rollouts are
+``lax.scan`` over it.  Everything is a pure function of (params, state, u),
+so vmap gives scenario batching and shard_map distributes over meshes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+from .core import BodyState, Params, SolverOptions, Topology
+from .residual import StepContext, make_context, pad_inputs
+from .solver import SolveResult, make_solver
+
+
+class StepInfo(NamedTuple):
+    success: jax.Array
+    iterations: jax.Array
+    rvio: jax.Array
+    bvio: jax.Array
+    w: jax.Array  # full solver solution (velocities + impulses)
+
+
+def make_step(topo: Topology, opts: SolverOptions = SolverOptions()):
+    """Returns step(params, state, u_padded, fext, text) → (state', StepInfo).
+
+    Semantics of one reference simulate! loop iteration
+    (simulate.jl:25-33): input_impulse! → mehrotra! → update_state!.
+    u_padded: (nj, 6) per-joint [force(3), torque(3)] in free-coordinate
+    slots (see residual.pad_inputs); None for passive.
+    """
+    init_w, solve, _ = make_solver(topo)
+
+    def step(params: Params, state: BodyState, u=None, fext=None, text=None):
+        ctx = make_context(topo, state, params, u, fext, text)
+        w0 = init_w(state.v, state.w, params)
+        res = solve(w0, ctx, params, opts)
+        nb = topo.nb
+        bv = res.w[: 6 * nb].reshape(nb, 6)
+        v25, w25 = bv[:, :3], bv[:, 3:]
+        h = params.timestep
+        new_state = BodyState(
+            x=lie.next_position(state.x, v25, h),
+            q=lie.next_orientation(state.q, w25, h),
+            v=v25,
+            w=w25,
+        )
+        info = StepInfo(
+            success=res.success,
+            iterations=res.iterations,
+            rvio=res.rvio,
+            bvio=res.bvio,
+            w=res.w,
+        )
+        return new_state, info
+
+    return step
+
+
+class Trajectory(NamedTuple):
+    """Recorded rollout (reference Storage, simulation/storage.jl:15-48).
+
+    All arrays lead with the time axis; x/q/v/w are the *pre-step* state at
+    each step (matching save_to_storage! before update_state!)."""
+
+    x: jax.Array  # (T, nb, 3)
+    q: jax.Array
+    v: jax.Array
+    w: jax.Array
+    info: StepInfo  # per-step solver stats
+
+
+def make_simulate(topo: Topology, opts: SolverOptions = SolverOptions()):
+    """simulate(params, state0, us, fext, text) → (final_state, Trajectory).
+
+    us: (T, nj, 6) padded inputs or None.  The per-step physics follows
+    simulate.jl:25-33 with record=true.
+    """
+    step = make_step(topo, opts)
+
+    def simulate(params, state0, us=None, horizon: int = None):
+        if us is None:
+            assert horizon is not None
+            us = jnp.zeros((horizon, topo.nj, 6), dtype=state0.x.dtype)
+
+        def body(state, u):
+            new_state, info = step(params, state, u)
+            rec = (state.x, state.q, state.v, state.w, info)
+            return new_state, rec
+
+        final, (xs, qs, vs, ws, infos) = jax.lax.scan(body, state0, us)
+        return final, Trajectory(x=xs, q=qs, v=vs, w=ws, info=infos)
+
+    return simulate

@@ -1,0 +1,318 @@
+"""Mehrotra predictor-corrector interior-point solver, jit/vmap-native.
+
+Port of the reference NCP solver semantics (src/solver/mehrotra.jl:9-73,
+line_search.jl, centering.jl, correction.jl, initialization.jl,
+violations.jl) to a batched fixed-shape formulation:
+
+* one dense Newton system J Δ = −r per iteration, J = jacfwd(residual) +
+  REG·I (replacing the graph-sparse LDU of GraphBasedSystems.jl — dense
+  KKT of a few hundred dims is MXU-friendly and vmaps across scenarios);
+* LU factorization reused for the affine and corrected solves
+  (mehrotra.jl:36-49);
+* all control flow is lax.while_loop with masked updates — solver failure
+  is a status flag, never an exception (the reference's excessive-ω error
+  at line_search.jl:18-20 becomes the clamp at :141-152);
+* cone bookkeeping (step lengths, centering, correction) runs on static
+  index sets extracted from the topology (core.cone_index_sets).
+
+Load-bearing heuristics kept verbatim: τ schedule (mehrotra.jl:51),
+centering exponent 3 (:41), btol/undercut floor (:44), no-progress
+undercut rescaling (:58-61), angular-velocity clamp 3.9/h².
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import contacts as ct
+from .core import (
+    CONTACT_WIDTH,
+    REG,
+    Params,
+    SolverOptions,
+    Topology,
+    cone_index_sets,
+    joint_limit_activity,
+)
+from .residual import StepContext, make_residual
+
+
+class SolveResult(NamedTuple):
+    w: jax.Array  # solution [v25 ω25 | joint impulses | contact impulses]
+    success: jax.Array  # bool
+    iterations: jax.Array  # int
+    rvio: jax.Array
+    bvio: jax.Array
+
+
+def _ort_alpha(lam, dl, act, tau):
+    """Positive-orthant max step (line_search.jl:102-113)."""
+    bad = (dl < 0) & (act > 0)
+    cand = -tau * lam / jnp.where(bad, dl, -1.0)
+    return jnp.min(jnp.where(bad, cand, 1e20), initial=1e20)
+
+
+def _soc_alpha(lam, dl, tau):
+    """Second-order-cone max step, CVXOPT §8.2 (line_search.jl:115-139)."""
+    eps = 1e-14
+    l0, l1 = lam[0], lam[1:]
+    ll = jnp.maximum(l0 * l0 - l1 @ l1, 1e-25) + eps
+    ld = l0 * dl[0] - l1 @ dl[1:] + eps
+    sq = jnp.sqrt(ll)
+    rs = ld / ll
+    rv = dl[1:] / sq - (ld / sq + dl[0]) / (l0 / sq + 1.0) * l1 / ll
+    gap = jnp.linalg.norm(rv) - rs
+    return jnp.where(gap > 0.0, jnp.minimum(1.0, tau / gap), 1.0)
+
+
+def _ort_init(g, s, eps=1e-20):
+    """Strictly-feasible orthant shift (initialization.jl:20-34)."""
+    ds = jnp.maximum(-1.5 * jnp.min(s), 0.0)
+    dg = jnp.maximum(-1.5 * jnp.min(g), 0.0)
+    sh, gh = s + ds, g + dg
+    dot = sh @ gh
+    return gh + 0.5 * dot / (jnp.sum(sh) + eps), sh + 0.5 * dot / (
+        jnp.sum(gh) + eps
+    )
+
+
+def _soc_init(g, s, eps=1e-20):
+    """Strictly-feasible SOC shift (initialization.jl:36-49)."""
+    e = jnp.zeros_like(g).at[0].set(1.0)
+    ds = jnp.maximum(-1.5 * (s[0] - jnp.linalg.norm(s[1:])), 0.0)
+    dg = jnp.maximum(-1.5 * (g[0] - jnp.linalg.norm(g[1:])), 0.0)
+    sh, gh = s + ds * e, g + dg * e
+    dot = sh @ gh
+    g0 = gh + 0.5 * dot / (sh[0] + jnp.linalg.norm(sh[1:]) + eps) * e
+    s0 = sh + 0.5 * dot / (gh[0] + jnp.linalg.norm(gh[1:]) + eps) * e
+    return g0, s0
+
+
+def make_solver(topo: Topology):
+    """Build (init_w, solve) closures for a topology."""
+    res_fn = make_residual(topo)
+    cones = cone_index_sets(topo)
+    D = topo.dim
+    nb, nj, nc, ML = topo.nb, topo.nj, topo.nc, topo.maxlim
+    SW, JW, CW = topo.sw, topo.jw, topo.cw
+    ort_s, ort_g = cones["ort_s"], cones["ort_g"]
+    soc_s, soc_g = cones["soc_s"], cones["soc_g"]
+    n_ort, n_soc = len(ort_s), len(soc_s)
+    n_joint_ort = cones["n_joint_ort"]
+
+    # static rvio row weights: body rows + contact constraint rows; joint e1
+    # rows weighted at runtime by λ-activity (violations.jl:1-36)
+    rv_static = np.zeros(D)
+    rv_static[: 6 * nb] = 1.0
+    for c in range(nc):
+        o = topo.contact_off + c * CW
+        rv_static[o + CW // 2 : o + CW] = 1.0
+    # index of each joint λ row in r (e1 rows)
+    lam_rows = []
+    for j in range(nj):
+        base = topo.joint_off + j * JW
+        for sub in range(2):
+            o = base + sub * SW + 4 * ML
+            lam_rows.extend([o, o + 1, o + 2])
+    lam_rows = np.asarray(lam_rows, dtype=np.int32)
+    rv_static = jnp.asarray(rv_static)
+
+    # body ω slot indices for the velocity clamp
+    w_slots = np.arange(nb)[:, None] * 6 + np.arange(3, 6)[None, :]
+
+    def rvio_weights(params: Params):
+        wgt = rv_static
+        if nj:
+            lam_act = jnp.stack(
+                [params.tra_lam_mask, params.rot_lam_mask], axis=1
+            ).reshape(-1)
+            wgt = wgt.at[lam_rows].set(lam_act)
+        return wgt
+
+    def ort_activity(params: Params):
+        acts = []
+        if n_joint_ort:
+            acts.append(joint_limit_activity(topo, params))
+        if n_ort - n_joint_ort:
+            acts.append(jnp.ones(n_ort - n_joint_ort, dtype=params.mass.dtype))
+        if not acts:
+            return jnp.zeros((0,), dtype=params.mass.dtype)
+        return jnp.concatenate(acts)
+
+    def violations(w, ctx, params, rvw, oact):
+        """(rvio, bvio) at w (violations.jl; μ-independent)."""
+        r0 = res_fn(w, ctx, params, 0.0)
+        rvio = jnp.max(jnp.abs(r0) * rvw, initial=0.0)
+        bvio = 0.0
+        if n_ort:
+            bvio = jnp.max(jnp.abs(w[ort_s] * w[ort_g]) * oact, initial=0.0)
+        if n_soc:
+            cp = jax.vmap(ct.cone_product)(w[soc_g], w[soc_s])
+            bvio = jnp.maximum(bvio, jnp.max(jnp.abs(cp)))
+        return rvio, bvio
+
+    def cone_line_search(w, dw, tort, tsoc, oact):
+        alpha = jnp.asarray(1.0, dtype=w.dtype)
+        if n_ort:
+            alpha = jnp.minimum(alpha, _ort_alpha(w[ort_s], dw[ort_s], oact, tort))
+            alpha = jnp.minimum(alpha, _ort_alpha(w[ort_g], dw[ort_g], oact, tort))
+        if n_soc:
+            a_s = jax.vmap(_soc_alpha, in_axes=(0, 0, None))(w[soc_s], dw[soc_s], tsoc)
+            a_g = jax.vmap(_soc_alpha, in_axes=(0, 0, None))(w[soc_g], dw[soc_g], tsoc)
+            alpha = jnp.minimum(alpha, jnp.minimum(jnp.min(a_s), jnp.min(a_g)))
+        return jnp.minimum(alpha, 1.0)
+
+    def centering(w, dw, aaff, oact):
+        """Aggregate duality measure ν, νaff, cone degree (centering.jl)."""
+        nu = 0.0
+        nuaff = 0.0
+        degree = 0.0
+        if n_ort:
+            s, g = w[ort_s], w[ort_g]
+            ds, dg = dw[ort_s], dw[ort_g]
+            nu += jnp.sum(oact * s * g)
+            nuaff += jnp.sum(oact * (s + aaff * ds) * (g + aaff * dg))
+            degree += jnp.sum(oact)
+        if n_soc:
+            s, g = w[soc_s], w[soc_g]
+            ds, dg = dw[soc_s], dw[soc_g]
+            nu += jnp.sum(s * g)
+            nuaff += jnp.sum((s + aaff * ds) * (g + aaff * dg))
+            degree += n_soc
+        degree = jnp.maximum(degree, 1.0)
+        return nu / degree, nuaff / degree
+
+    def correction(dw, mu, oact):
+        """Second-order correction added to the (−r) RHS (correction.jl)."""
+        corr = jnp.zeros(D, dtype=dw.dtype)
+        if n_ort:
+            corr = corr.at[ort_s].set(oact * (-dw[ort_s] * dw[ort_g] + mu))
+        if n_soc:
+            cp = jax.vmap(ct.cone_product)(dw[soc_s], dw[soc_g])
+            mu_e = jnp.zeros(3, dtype=dw.dtype).at[0].set(mu)
+            corr = corr.at[soc_s].set(-cp + mu_e)
+        return corr
+
+    def clamp_omega(w, wmax):
+        """ω-norm clamp (line_search.jl:141-152; factor ωmax/ω² as in ref)."""
+        if nb == 0:
+            return w
+        om = w[w_slots.reshape(-1)].reshape(nb, 3)
+        wd = jnp.sum(om * om, axis=-1, keepdims=True)
+        factor = jnp.where(wd > wmax, wmax / wd, 1.0)
+        return w.at[w_slots.reshape(-1)].set((om * factor).reshape(-1))
+
+    def backtrack(w_acc, dw, alpha, rvio, bvio, ctx, params, rvw, oact, opts, wmax):
+        """Scale-halving line search (line_search.jl:1-34)."""
+
+        def make_cand(scale):
+            wc = w_acc + alpha / (2.0**scale) * dw
+            return clamp_omega(wc, wmax)
+
+        def cond(carry):
+            scale, accepted, _, _, _ = carry
+            return (~accepted) & (scale < opts.max_ls)
+
+        def body(carry):
+            scale, _, _, _, _ = carry
+            wc = make_cand(scale)
+            rv, bv = violations(wc, ctx, params, rvw, oact)
+            worse = (rv > rvio) & (bv > bvio)
+            return (scale + 1, ~worse, wc, rv, bv)
+
+        w0 = make_cand(0.0)
+        rv0, bv0 = violations(w0, ctx, params, rvw, oact)
+        worse0 = (rv0 > rvio) & (bv0 > bvio)
+        out = jax.lax.while_loop(cond, body, (1.0, ~worse0, w0, rv0, bv0))
+        return out[2], out[3], out[4]
+
+    def init_w(state_v, state_w, params: Params):
+        """Warm-started initial point (set_velocity_solution!, reset!,
+        initialize! — mehrotra.jl:10-20)."""
+        dtype = state_v.dtype
+        parts = [jnp.concatenate([state_v, state_w], axis=-1).reshape(-1)]
+        if nj:
+            sub = jnp.concatenate(
+                [jnp.ones(4 * ML, dtype), jnp.zeros(3, dtype)]
+            )
+            parts.append(jnp.tile(sub, 2 * nj))
+        if nc:
+            blocks = []
+            for c in range(nc):
+                kind = topo.contact_kind[c]
+                nh = CW // 2
+                neutral = ct.neutral_vector(kind, nh, dtype)
+                if kind == "nonlinear":
+                    g_o, s_o = _ort_init(neutral[:1], neutral[:1])
+                    g_s, s_s = _soc_init(neutral[1:4], neutral[1:4])
+                    s0 = jnp.concatenate([s_o, s_s])
+                    g0 = jnp.concatenate([g_o, g_s])
+                else:
+                    g0, s0 = _ort_init(neutral, neutral)
+                pad = jnp.ones(nh - len(neutral), dtype) if nh > len(neutral) else jnp.zeros(0, dtype)
+                blocks.append(jnp.concatenate([s0, pad, g0, pad]))
+            parts.append(jnp.concatenate(blocks))
+        return jnp.concatenate(parts)
+
+    def solve(w0, ctx: StepContext, params: Params, opts: SolverOptions):
+        rvw = rvio_weights(params)
+        oact = ort_activity(params)
+        h = params.timestep
+        wmax = 3.9 / h**2
+        jac = jax.jacfwd(res_fn)
+        eye = jnp.eye(D)
+
+        rvio0, bvio0 = violations(w0, ctx, params, rvw, oact)
+
+        def cond(st):
+            (w, rvio, bvio, mu_asm, ucut, noprog, it, done) = st
+            return (~done) & (it < opts.max_iter)
+
+        def body(st):
+            (w, rvio, bvio, mu_asm, ucut, noprog, it, _) = st
+            r = res_fn(w, ctx, params, mu_asm)
+            J = jac(w, ctx, params, mu_asm) + REG * eye
+            lu, piv = jax.scipy.linalg.lu_factor(J)
+            daff = jax.scipy.linalg.lu_solve((lu, piv), -r)
+            aaff = cone_line_search(w, daff, 0.95, 0.95, oact)
+            nu, nuaff = centering(w, daff, aaff, oact)
+            sigma = jnp.clip(nuaff / (nu + 1e-20), 0.0, 1.0) ** 3
+            mu_t = jnp.maximum(sigma * nu, opts.btol / ucut)
+            rhs = -r + correction(daff, mu_t, oact)
+            d = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+            tau = jnp.maximum(0.95, 1.0 - jnp.maximum(rvio, bvio) ** 2)
+            alpha = cone_line_search(w, d, tau, jnp.minimum(tau, 0.95), oact)
+            w2, rv2, bv2 = backtrack(
+                w, d, alpha, rvio, bvio, ctx, params, rvw, oact, opts, wmax
+            )
+            progress = (~(rv2 < opts.rtol) & (rv2 < 0.8 * rvio)) | (
+                ~(bv2 < opts.btol) & (bv2 < 0.8 * bvio)
+            )
+            noprog2 = jnp.where(progress, jnp.maximum(noprog - 1, 0), noprog + 1)
+            ucut2 = jnp.where(
+                noprog2 >= opts.no_progress_max,
+                ucut * opts.no_progress_undercut,
+                ucut,
+            )
+            done = (rv2 < opts.rtol) & (bv2 < opts.btol)
+            return (w2, rv2, bv2, mu_t, ucut2, noprog2, it + 1, done)
+
+        init = (
+            w0,
+            rvio0,
+            bvio0,
+            jnp.asarray(0.0, w0.dtype),
+            jnp.asarray(opts.undercut, w0.dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            (rvio0 < opts.rtol) & (bvio0 < opts.btol),
+        )
+        w, rvio, bvio, _, _, _, it, done = jax.lax.while_loop(cond, body, init)
+        return SolveResult(w=w, success=done, iterations=it, rvio=rvio, bvio=bvio)
+
+    return init_w, solve, violations

@@ -7,7 +7,13 @@ implicit-function-theorem gradients through contact, a model/environment
 zoo, and multi-chip scaling via jax.sharding meshes.
 """
 
-from . import lie
+from . import lie, mechanics, minimal, models
+from .gradients import (
+    make_diff_step,
+    make_diff_step_minimal,
+    maximal_jacobians,
+    minimal_jacobians,
+)
 from .builder import (
     Body,
     ContactDef,

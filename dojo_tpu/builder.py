@@ -154,6 +154,70 @@ class Mechanism:
     def timestep(self):
         return float(self.params.timestep)
 
+    # cached jitted entry points ------------------------------------------
+    def _cache(self, key, make):
+        d = self.__dict__.setdefault("_fn_cache", {})
+        if key not in d:
+            d[key] = make()
+        return d[key]
+
+    def step(self, state, u=None, opts=None, params=None):
+        """One simulation step (maximal in/out).  u: packed inputs
+        (input_dim,) or None."""
+        import jax
+
+        from .core import SolverOptions
+        from .residual import pad_inputs
+        from .simulate import make_step
+
+        opts = opts or SolverOptions()
+        fn = self._cache(("step", opts), lambda: jax.jit(make_step(self.topo, opts)))
+        up = None if u is None else pad_inputs(self.topo, jnp.asarray(u))
+        return fn(params if params is not None else self.params, state, up)
+
+    def simulate(self, state, horizon, us=None, opts=None, params=None):
+        """Rollout for `horizon` steps; us: (T, input_dim) packed or None."""
+        import jax
+
+        from .core import SolverOptions
+        from .residual import pad_inputs
+        from .simulate import make_simulate
+
+        opts = opts or SolverOptions()
+        fn = self._cache(
+            ("simulate", opts),
+            lambda: jax.jit(
+                make_simulate(self.topo, opts), static_argnames="horizon"
+            ),
+        )
+        if us is not None:
+            us = jax.vmap(lambda uu: pad_inputs(self.topo, uu))(jnp.asarray(us))
+            return fn(params if params is not None else self.params, state, us)
+        return fn(
+            params if params is not None else self.params,
+            state,
+            None,
+            horizon=horizon,
+        )
+
+    def minimal_state(self, state):
+        from .minimal import maximal_to_minimal
+
+        return maximal_to_minimal(self.topo, self.params, state)
+
+    def maximal_state(self, y):
+        from .minimal import minimal_to_maximal
+
+        return minimal_to_maximal(self.topo, self.params, y)
+
+    def set_minimal(self, state, joint, coords=None, velocities=None):
+        from .minimal import set_joint_minimal
+
+        j = joint if isinstance(joint, int) else self.joint_index[joint]
+        return set_joint_minimal(
+            self.topo, self.params, state, j, coords, velocities
+        )
+
     def zero_state(self) -> BodyState:
         """Zero-coordinate forward-kinematics placement
         (reference zero_coordinates!, mechanism/set.jl:94-107)."""

@@ -1,0 +1,129 @@
+"""Differentiable dynamics: implicit-function-theorem gradients through the
+contact solver.
+
+Reference: src/gradients/state.jl:69-126 (get_maximal_gradients — IFT solve
+``solmat \\ datamat`` at the relaxed solution) and :192-217 (minimal-gradient
+sandwich).  Here the IFT is packaged as a ``jax.custom_jvp`` on the solver's
+fixed point w*(θ):
+
+    r(w*; θ, μ_f) = 0   ⇒   ẇ* = −J⁻¹ (∂r/∂θ) θ̇,   J = ∂r/∂w + REG·I
+
+evaluated at the solver's final complementarity target μ_f — i.e. gradients
+of the *relaxed* (smooth) problem, exactly the reference's gradient
+semantics (docs "Dojo's Gradient").  The JVP rule is linear in tangents, so
+JAX transposition gives reverse mode for free; vmapping the rule gives full
+Jacobians that share one factorization across columns (the reference's
+"TODO: use pre-factorization" done right).
+
+Everything downstream (maximal→minimal maps, integrator update, losses) is
+plain autodiff through pure functions, so the reference's hand-chained
+min/max Jacobian sandwich (state.jl:9-66 pullbacks) is free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+from .core import REG, BodyState, Params, SolverOptions, Topology
+from .minimal import maximal_to_minimal, minimal_to_maximal
+from .residual import make_context, make_residual, pad_inputs
+from .solver import make_solver
+
+
+def make_diff_step(topo: Topology, opts: SolverOptions = SolverOptions()):
+    """Returns a differentiable step(params, state, u_padded) → BodyState.
+
+    Gradients flow into params (sysid), state (dynamics Jacobians for
+    LQR/iLQR/MPC) and u (control Jacobians).
+    """
+    res_fn = make_residual(topo)
+    init_w, solve, _ = make_solver(topo)
+    nb = topo.nb
+
+    @jax.custom_jvp
+    def w_star(params, state, u):
+        ctx = make_context(topo, state, params, u)
+        w0 = init_w(state.v, state.w, params)
+        res = solve(w0, ctx, params, opts)
+        return res.w, res.mu
+
+    @w_star.defjvp
+    def w_star_jvp(primals, tangents):
+        params, state, u = primals
+        dparams, dstate, du = tangents
+        w, mu = w_star(params, state, u)
+
+        def r_of_theta(p, s, uu):
+            return res_fn(w, make_context(topo, s, p, uu), p, mu)
+
+        _, rdot = jax.jvp(r_of_theta, (params, state, u), (dparams, dstate, du))
+        ctx = make_context(topo, state, params, u)
+        J = jax.jacfwd(res_fn)(w, ctx, params, mu) + REG * jnp.eye(
+            topo.dim, dtype=w.dtype
+        )
+        wdot = -jnp.linalg.solve(J, rdot)
+        return (w, mu), (wdot, jnp.zeros_like(mu))
+
+    def step(params: Params, state: BodyState, u):
+        w, _ = w_star(params, state, u)
+        bv = w[: 6 * nb].reshape(nb, 6)
+        v25, w25 = bv[:, :3], bv[:, 3:]
+        h = params.timestep
+        return BodyState(
+            x=lie.next_position(state.x, v25, h),
+            q=lie.next_orientation(state.q, w25, h),
+            v=v25,
+            w=w25,
+        )
+
+    return step
+
+
+def make_diff_step_minimal(topo: Topology, opts: SolverOptions = SolverOptions()):
+    """Differentiable minimal-coordinate dynamics y' = f(y, u_packed)
+    (reference step_minimal_coordinates! + get_minimal_gradients!)."""
+    step = make_diff_step(topo, opts)
+
+    def step_min(params: Params, y, u_packed):
+        state = minimal_to_maximal(topo, params, y)
+        u = pad_inputs(topo, u_packed)
+        state2 = step(params, state, u)
+        return maximal_to_minimal(topo, params, state2)
+
+    return step_min
+
+
+def minimal_jacobians(topo: Topology, opts: SolverOptions = SolverOptions()):
+    """(∂y'/∂y, ∂y'/∂u) — the reference get_minimal_gradients! outputs,
+    via vmapped IFT-JVPs sharing the KKT factorization."""
+    step_min = make_diff_step_minimal(topo, opts)
+
+    def jac(params, y, u_packed):
+        fy = jax.jacfwd(step_min, argnums=1)(params, y, u_packed)
+        fu = jax.jacfwd(step_min, argnums=2)(params, y, u_packed)
+        return fy, fu
+
+    return jac
+
+
+def maximal_jacobians(topo: Topology, opts: SolverOptions = SolverOptions()):
+    """(∂z'/∂z, ∂z'/∂u) on packed maximal states z = [x v q ω]·Nb
+    (reference get_maximal_gradients, 13Nb in / 13Nb out here — the
+    reference uses a 12Nb attitude-tangent form; callers wanting that can
+    chain with attitude-Jacobian projections)."""
+    step = make_diff_step(topo, opts)
+    nb = topo.nb
+
+    def f(params, z, u_packed):
+        state = BodyState.unpack(z, nb)
+        u = pad_inputs(topo, u_packed)
+        return step(params, state, u).pack()
+
+    def jac(params, z, u_packed):
+        fz = jax.jacfwd(f, argnums=1)(params, z, u_packed)
+        fu = jax.jacfwd(f, argnums=2)(params, z, u_packed)
+        return fz, fu
+
+    return jac

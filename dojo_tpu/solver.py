@@ -48,6 +48,8 @@ class SolveResult(NamedTuple):
     iterations: jax.Array  # int
     rvio: jax.Array
     bvio: jax.Array
+    mu: jax.Array  # final complementarity target (gradients are taken here,
+    # matching the reference's relaxed-solution gradient semantics)
 
 
 def _ort_alpha(lam, dl, act, tau):
@@ -312,7 +314,9 @@ def make_solver(topo: Topology):
             jnp.asarray(0, jnp.int32),
             (rvio0 < opts.rtol) & (bvio0 < opts.btol),
         )
-        w, rvio, bvio, _, _, _, it, done = jax.lax.while_loop(cond, body, init)
-        return SolveResult(w=w, success=done, iterations=it, rvio=rvio, bvio=bvio)
+        w, rvio, bvio, mu_f, _, _, it, done = jax.lax.while_loop(cond, body, init)
+        return SolveResult(
+            w=w, success=done, iterations=it, rvio=rvio, bvio=bvio, mu=mu_f
+        )
 
     return init_w, solve, violations

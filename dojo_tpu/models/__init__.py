@@ -33,38 +33,15 @@ _MODULES = [
     "pendulum",
     "cartpole",
     "block",
-    "sphere",
-    "npendulum",
-    "nslider",
-    "slider",
-    "dzhanibekov",
-    "tippetop",
-    "halfcheetah",
-    "hopper",
-    "walker",
-    "ant",
-    "quadruped",
-    "raiberthopper",
-    "block2d",
     "snake",
-    "twister",
-    "quadrotor",
-    "uuv",
-    "youbot",
-    "panda",
-    "humanoid",
-    "atlas",
-    "exoskeleton",
-    "fourbar",
+    "locomotion",
+    "quadruped",
 ]
 
 
 def _load_all():
     for m in _MODULES:
-        try:
-            import_module(f"dojo_tpu.models.{m}")
-        except ImportError:
-            pass
+        import_module(f"dojo_tpu.models.{m}")
 
 
 def get_mechanism(name, **kwargs):

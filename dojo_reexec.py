@@ -1,0 +1,20 @@
+"""pytest -p plugin: re-exec the test run without the TPU remote-compile relay.
+
+This host's axon sitecustomize (PYTHONPATH=/root/.axon_site) routes all XLA
+compiles — including CPU — through a remote relay, turning second-long test
+compiles into minutes.  Loaded via `addopts = -p dojo_reexec` (pytest.ini),
+this module runs at plugin-import time, BEFORE pytest's capture replaces
+stdout, so the re-exec'd run inherits the real stdout/stderr.
+"""
+
+import os
+import sys
+
+if "axon" in os.environ.get("PYTHONPATH", "") and not os.environ.get(
+    "DOJO_TPU_TESTS_REEXEC"
+):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    env["DOJO_TPU_TESTS_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)

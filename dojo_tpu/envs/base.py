@@ -1,0 +1,96 @@
+"""Environment base: minimal-coordinate step + state/input maps
+(reference DojoEnvironments/src/environments.jl:6-133)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import SolverOptions
+from ..minimal import maximal_to_minimal, minimal_to_maximal
+from ..residual import pad_inputs
+from ..simulate import make_step
+
+
+class Environment:
+    """Wraps a Mechanism with an RL-style minimal-coordinate interface.
+
+    Subclasses override state_map/input_map/reward/is_done.  step() is a
+    jitted pure function of (y, u) and vmaps over batches.
+    """
+
+    def __init__(self, mech, horizon=100, opts=None):
+        self.mech = mech
+        self.horizon = horizon
+        self.opts = opts or SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30)
+        self._step_fn = None
+
+    # -- override points ----------------------------------------------------
+    def state_map(self, y):
+        return y
+
+    def input_map(self, u):
+        """Map the env action to the mechanism's packed input vector."""
+        if u is None:
+            return jnp.zeros(self.mech.input_dim)
+        return jnp.asarray(u)
+
+    def reward(self, y, u, y_next, info):
+        return jnp.asarray(0.0)
+
+    def is_done(self, y):
+        return jnp.asarray(False)
+
+    # -- API ------------------------------------------------------------------
+    @property
+    def state_dim(self):
+        return self.mech.minimal_dim
+
+    @property
+    def input_dim(self):
+        return self.mech.input_dim
+
+    def reset(self, **kwargs):
+        from .. import models
+
+        name = getattr(self, "model_name", None)
+        if name is not None:
+            state = models.initialize(self.mech, name, **kwargs)
+        else:
+            state = self.mech.zero_state()
+        return maximal_to_minimal(self.mech.topo, self.mech.params, state)
+
+    def _raw_step(self):
+        if self._step_fn is None:
+            topo, params = self.mech.topo, self.mech.params
+            inner = make_step(topo, self.opts)
+
+            def fn(y, u_packed):
+                state = minimal_to_maximal(topo, params, y)
+                u = pad_inputs(topo, u_packed)
+                state2, info = inner(params, state, u)
+                y2 = maximal_to_minimal(topo, params, state2)
+                return y2, info
+
+            self._step_fn = jax.jit(fn)
+        return self._step_fn
+
+    def step(self, y, u=None):
+        """One env step: returns (y_next, reward, done, info)."""
+        y = self.state_map(jnp.asarray(y))
+        up = self.input_map(u)
+        y2, info = self._raw_step()(y, up)
+        r = self.reward(y, up, y2, info)
+        return y2, r, self.is_done(y2), info
+
+    def simulate(self, y0, controller=None, horizon=None):
+        """Host-loop rollout with an arbitrary Python controller(y, k) → u."""
+        ys, rs = [], []
+        y = jnp.asarray(y0)
+        for k in range(horizon or self.horizon):
+            u = controller(y, k) if controller else None
+            y, r, done, info = self.step(y, u)
+            ys.append(y)
+            rs.append(r)
+        return jnp.stack(ys), jnp.stack(rs)

@@ -85,14 +85,16 @@ def rot_minimal_velocities(jp, xa, va, qa, wa, xb, vb, qb, wb, h):
 
 
 def _transform_from(f):
-    """Build the 6x3 impulse transform from a displacement fn of (dx, φ)."""
+    """AD fallback: 6x3 impulse transform from a displacement fn of (dx, φ).
+
+    Kept as the test oracle for the closed forms below."""
     z3 = jnp.zeros(3)
     jx = jax.jacfwd(lambda dx: f(dx, z3))(z3)  # (3,3)
     jq = jax.jacfwd(lambda p: f(z3, p))(z3)  # (3,3) attitude-corrected
     return jnp.concatenate([jx.T, 0.5 * jq.T], axis=0)  # (6,3)
 
 
-def tra_impulse_transform(jp, relative, xa, qa, xb, qb):
+def tra_impulse_transform_ad(jp, relative, xa, qa, xb, qb):
     if relative == "parent":
         f = lambda dx, p: tra_displacement(jp, xa + dx, lie.quat_perturb(qa, p), xb, qb)
     else:
@@ -100,12 +102,48 @@ def tra_impulse_transform(jp, relative, xa, qa, xb, qb):
     return _transform_from(f)
 
 
-def rot_impulse_transform(jp, relative, xa, qa, xb, qb):
+def rot_impulse_transform_ad(jp, relative, xa, qa, xb, qb):
     if relative == "parent":
         f = lambda dx, p: rot_displacement(jp, lie.quat_perturb(qa, p), qb)
     else:
         f = lambda dx, p: rot_displacement(jp, qa, lie.quat_perturb(qb, p))
     return _transform_from(f)
+
+
+def tra_impulse_transform(jp, relative, xa, qa, xb, qb):
+    """Closed form of Diag(1,½)·[X Q·LVᵀ]ᵀ for the translational sub-joint.
+
+    With d_a = displacement in the parent frame:
+      parent: [−R(qa); −skew(d_a + p_a)]
+      child:  [ R(qa);  skew(p_b) R(qb)ᵀ R(qa)]
+    (equals the AD transform through quat_perturb; see tests/test_joints.py)
+    """
+    Ra = lie.rotation_matrix(qa)
+    if relative == "parent":
+        d = tra_displacement(jp, xa, qa, xb, qb)
+        return jnp.concatenate(
+            [-Ra, -lie.skew(d + jp["tra_vertex_parent"])], axis=0
+        )
+    Rb = lie.rotation_matrix(qb)
+    return jnp.concatenate(
+        [Ra, lie.skew(jp["tra_vertex_child"]) @ Rb.T @ Ra], axis=0
+    )
+
+
+def rot_impulse_transform(jp, relative, xa, qa, xb, qb):
+    """Closed form for the rotational sub-joint: [0; ½·Jφᵀ] with
+      parent: Jφ = −V L(off⁻¹) R(qa⁻¹qb) Vᵀ
+      child:  Jφ =  V L(off⁻¹ qa⁻¹ qb) Vᵀ
+    """
+    z = jnp.zeros((3, 3), dtype=qa.dtype)
+    if relative == "parent":
+        s = lie.qmul(lie.qconj(qa), qb)
+        m = lie.qmul_jac_right(lie.qconj(jp["rot_offset"]), s)  # L(off⁻¹)R(s)
+        jphi = -m[1:, 1:]
+    else:
+        q_rel = lie.qmul(lie.qconj(jp["rot_offset"]), lie.qmul(lie.qconj(qa), qb))
+        jphi = lie.Lmat(q_rel)[1:, 1:]
+    return jnp.concatenate([z, 0.5 * jphi.T], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -138,12 +176,14 @@ def split_subjoint(eta, ml):
 # ---------------------------------------------------------------------------
 
 
-def tra_spring_impulses(jp, xa, qa, xb, qb, h):
+def tra_spring_impulses(jp, xa, qa, xb, qb, h, tp=None, tc=None):
     """Returns (parent 6-impulse, child 6-impulse)."""
     dist = jp["tra_spring_offset"] - tra_minimal_coordinates(jp, xa, qa, xb, qb)
     force = jp["tra_spring"] * (jp["tra_nmask"].T @ dist)  # parent-frame
-    tp = tra_impulse_transform(jp, "parent", xa, qa, xb, qb)
-    tc = tra_impulse_transform(jp, "child", xa, qa, xb, qb)
+    if tp is None:
+        tp = tra_impulse_transform(jp, "parent", xa, qa, xb, qb)
+    if tc is None:
+        tc = tra_impulse_transform(jp, "child", xa, qa, xb, qb)
     return h * (tp @ force), h * (tc @ force)
 
 
@@ -163,11 +203,13 @@ def rot_spring_impulses(jp, xa, qa, xb, qb, h):
 # ---------------------------------------------------------------------------
 
 
-def tra_damper_impulses(jp, xa, va, qa, wa, xb, vb, qb, wb, h):
+def tra_damper_impulses(jp, xa, va, qa, wa, xb, vb, qb, wb, h, tp=None, tc=None):
     vel = tra_minimal_velocities(jp, xa, va, qa, wa, xb, vb, qb, wb, h)
     force = jp["tra_damper"] * (jp["tra_nmask"].T @ (-vel))  # parent-frame
-    tp = tra_impulse_transform(jp, "parent", xa, qa, xb, qb)
-    tc = tra_impulse_transform(jp, "child", xa, qa, xb, qb)
+    if tp is None:
+        tp = tra_impulse_transform(jp, "parent", xa, qa, xb, qb)
+    if tc is None:
+        tc = tra_impulse_transform(jp, "child", xa, qa, xb, qb)
     return h * (tp @ force), h * (tc @ force)
 
 

@@ -72,6 +72,11 @@ def Rmat(q: jax.Array) -> jax.Array:
     return jnp.stack([r0, r1, r2, r3], axis=-2)
 
 
+def qmul_jac_right(a: jax.Array, s: jax.Array) -> jax.Array:
+    """Jacobian of p ↦ a ∘ p ∘ s, i.e. Lmat(a) @ Rmat(s). (...,4,4)."""
+    return Lmat(a) @ Rmat(s)
+
+
 def rotate(v: jax.Array, q: jax.Array) -> jax.Array:
     """Rotate vector v by quaternion q: V(q ∘ [0,v] ∘ q⁻¹).
 

@@ -36,6 +36,7 @@ _MODULES = [
     "snake",
     "locomotion",
     "quadruped",
+    "misc",
 ]
 
 

@@ -1,0 +1,9 @@
+"""Contact-MPC / trajectory optimization layer (the north-star addition over
+the reference: thousands of batched MPC solves per chip, scaled over meshes).
+
+The reference demonstrates control via examples (examples/control/*.jl —
+LQR on cartpole, MPC via external packages); here trajectory optimization is
+a first-class, jit/vmap-native subsystem built on the IFT-differentiable
+step."""
+
+from .ilqr import ILQRConfig, QuadCost, make_ilqr, make_mpc_controller

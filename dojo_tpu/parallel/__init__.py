@@ -1,0 +1,1 @@
+from .mesh import batch_shard, make_mesh, sharded_batch_apply

@@ -302,9 +302,11 @@ def _joint_terms(jp, eta, xa2, qa2, xb2, qb2, xa3, qa3, xb3, qb3,
     imp_c = tc_t @ f_tra + tc_r @ f_rot
 
     # springs (current config) + dampers (current config, candidate velocities)
-    sp_p, sp_c = jk.tra_spring_impulses(jp, xa2, qa2, xb2, qb2, h)
+    sp_p, sp_c = jk.tra_spring_impulses(jp, xa2, qa2, xb2, qb2, h, tp_t, tc_t)
     sr_p, sr_c = jk.rot_spring_impulses(jp, xa2, qa2, xb2, qb2, h)
-    dp_p, dp_c = jk.tra_damper_impulses(jp, xa2, va, qa2, wa, xb2, vb, qb2, wb, h)
+    dp_p, dp_c = jk.tra_damper_impulses(
+        jp, xa2, va, qa2, wa, xb2, vb, qb2, wb, h, tp_t, tc_t
+    )
     dr_p, dr_c = jk.rot_damper_impulses(jp, qa2, wa, qb2, wb, h)
     imp_p = imp_p + sp_p + sr_p + dp_p + dr_p
     imp_c = imp_c + sp_c + sr_c + dp_c + dr_c

@@ -330,7 +330,14 @@ def apply_zoo_options(jointdefs, springs=None, dampers=None, joint_limits=None,
             jd.damper = float(dampers)
         if joint_limits and jd.name in joint_limits:
             lo, hi = joint_limits[jd.name]
-            jd.rot_limits = (np.atleast_1d(lo), np.atleast_1d(hi))
+            lim = (np.atleast_1d(lo), np.atleast_1d(hi))
+            # limits attach to the sub-joint with free coordinates
+            # (set_limits, DojoEnvironments/src/utilities.jl)
+            if jd.kind in ("prismatic", "planar", "fixed_orientation",
+                           "planar_free", "cylindrical_free"):
+                jd.tra_limits = lim
+            else:
+                jd.rot_limits = lim
         if rot_spring_offsets and jd.name in rot_spring_offsets:
             jd.rot_spring_offset = np.atleast_1d(rot_spring_offsets[jd.name])
     return jointdefs

@@ -13,9 +13,18 @@ import pytest
 import dojo_tpu as dt
 from dojo_tpu import models
 from dojo_tpu.core import SolverOptions
-from dojo_tpu.gradients import make_diff_step_minimal, minimal_jacobians
+from dojo_tpu.gradients import make_diff_step_minimal
 
 TIGHT = SolverOptions(rtol=1e-12, btol=1e-12)
+
+_CACHE = {}
+
+
+def pendulum_step():
+    if "p" not in _CACHE:
+        mech = models.get_mechanism("pendulum", timestep=0.01)
+        _CACHE["p"] = (mech, jax.jit(make_diff_step_minimal(mech.topo, TIGHT)))
+    return _CACHE["p"]
 
 
 def fd_jacobian(f, x, eps=1e-6):
@@ -28,17 +37,17 @@ def fd_jacobian(f, x, eps=1e-6):
     return np.stack(cols, axis=-1)
 
 
-@pytest.mark.parametrize("name,y0,u0", [
-    ("pendulum", [0.4, 0.7], [0.3]),
-    ("cartpole", [0.1, 0.3, -0.2, 0.5], [0.4, 0.0]),
-])
-def test_minimal_jacobians_vs_fd(name, y0, u0):
-    mech = models.get_mechanism(name, timestep=0.01)
-    step = jax.jit(make_diff_step_minimal(mech.topo, TIGHT))
-    y0 = jnp.asarray(y0, dtype=jnp.float64)
-    u0 = jnp.asarray(u0, dtype=jnp.float64)
+def test_minimal_jacobians_vs_fd():
+    mech, step = pendulum_step()
+    y0 = jnp.asarray([0.4, 0.7])
+    u0 = jnp.asarray([0.3])
 
-    jac = jax.jit(minimal_jacobians(mech.topo, TIGHT))
+    jac = jax.jit(
+        lambda p, y, u: (
+            jax.jacfwd(step, argnums=1)(p, y, u),
+            jax.jacfwd(step, argnums=2)(p, y, u),
+        )
+    )
     fy, fu = jac(mech.params, y0, u0)
     fy_fd = fd_jacobian(lambda y: step(mech.params, jnp.asarray(y), u0), y0)
     fu_fd = fd_jacobian(lambda u: step(mech.params, y0, jnp.asarray(u)), u0)
@@ -47,10 +56,9 @@ def test_minimal_jacobians_vs_fd(name, y0, u0):
 
 
 def test_reverse_mode_matches_forward():
-    """custom_jvp transposes correctly: grad of a scalar loss agrees with
+    """custom_jvp transposes correctly: reverse-mode grad equals
     forward-mode Jacobian contraction."""
-    mech = models.get_mechanism("pendulum", timestep=0.01)
-    step = make_diff_step_minimal(mech.topo, TIGHT)
+    mech, step = pendulum_step()
     y0 = jnp.array([0.4, 0.7])
     u0 = jnp.array([0.3])
 
@@ -65,9 +73,8 @@ def test_reverse_mode_matches_forward():
 
 def test_param_gradients_flow():
     """System-identification path: gradients w.r.t. model parameters (mass)
-    exist and are finite (reference gradients/contact.jl analog)."""
-    mech = models.get_mechanism("pendulum", timestep=0.01)
-    step = make_diff_step_minimal(mech.topo, TIGHT)
+    match finite differences (reference gradients/contact.jl analog)."""
+    mech, step = pendulum_step()
     y0 = jnp.array([0.4, 0.7])
     u0 = jnp.array([0.0])
 
@@ -81,4 +88,26 @@ def test_param_gradients_flow():
     eps = 1e-6
     m = np.asarray(mech.params.mass)
     fd = (loss(jnp.asarray(m + eps)) - loss(jnp.asarray(m - eps))) / (2 * eps)
-    assert np.allclose(g.sum(), fd, atol=1e-4)
+    assert np.allclose(np.asarray(g).sum(), float(fd), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_contact_gradients_fd():
+    """Gradients through contact at the relaxed solution are smooth and
+    FD-consistent (sphere drop, reference contact-gradient semantics)."""
+    opts = SolverOptions(rtol=1e-8, btol=1e-8)
+    mech = models.get_mechanism("sphere", timestep=0.01)
+    from dojo_tpu.gradients import make_diff_step
+
+    step = jax.jit(make_diff_step(mech.topo, opts))
+    state = models.initialize(mech, "sphere", position=(0, 0, 0.52), velocity=(1, 0, 0))
+    u = jnp.zeros((mech.topo.nj, 6))
+
+    def out(v0):
+        s = state._replace(v=state.v.at[0, 0].set(v0))
+        return step(mech.params, s, u).pack()
+
+    g = jax.jit(jax.jacfwd(out))(jnp.asarray(1.0))
+    eps = 1e-5
+    fd = (np.asarray(out(1.0 + eps)) - np.asarray(out(1.0 - eps))) / (2 * eps)
+    assert np.allclose(np.asarray(g), fd, atol=1e-4), np.abs(np.asarray(g) - fd).max()

@@ -9,6 +9,7 @@ driver target of 1000 MPC solves/s ≈ 40k contact steps/s per chip.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -27,7 +28,7 @@ def main():
     opts = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30)
     step = make_step(mech.topo, opts)
 
-    B = 256  # scenario batch per chip
+    B = int(os.environ.get("BENCH_B", "256"))  # scenario batch per chip
     batt = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), state)
     u = jnp.zeros((B, mech.topo.nj, 6), dtype=state.x.dtype)
 
@@ -41,7 +42,7 @@ def main():
     jax.block_until_ready(st2)
 
     # timed: K sequential batched steps (chained, like an MPC rollout)
-    K = 10
+    K = int(os.environ.get("BENCH_K", "10"))
     t0 = time.perf_counter()
     st = batt
     for _ in range(K):

@@ -21,6 +21,13 @@ def register(name):
 
 
 from . import classic  # noqa: E402  (populates registry)
+from .waypoint import (  # noqa: E402
+    QuadrotorWaypoint,
+    QuadrupedSampling,
+    QuadrupedWaypoint,
+    UUVWaypoint,
+    YoubotWaypoint,
+)
 
 
 def get_environment(name, **kwargs):
@@ -28,6 +35,11 @@ def get_environment(name, **kwargs):
         "pendulum": Pendulum,
         "cartpole_dqn": CartpoleDQN,
         "ant_ars": AntARS,
+        "quadruped_waypoint": QuadrupedWaypoint,
+        "quadruped_sampling": QuadrupedSampling,
+        "quadrotor_waypoint": QuadrotorWaypoint,
+        "uuv_waypoint": UUVWaypoint,
+        "youbot_waypoint": YoubotWaypoint,
     }
     reg.update(_REGISTRY)
     if name not in reg:

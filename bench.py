@@ -56,7 +56,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "quadruped contact-dynamics steps/s/chip (B=256, h=0.05)",
+                "metric": f"quadruped contact-dynamics steps/s/chip (B={B}, h=0.05)",
                 "value": round(steps_per_s, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_s / target, 4),

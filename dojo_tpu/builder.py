@@ -97,6 +97,10 @@ class ContactDef:
     radius: float = 0.0
     offset: Sequence = (0.0, 0.0, 0.0)  # halfspace offset in world frame
     name: Optional[str] = None
+    # body-body collision (sphere-sphere): set child to a body name
+    child: Optional[str] = None
+    child_origin: Sequence = (0.0, 0.0, 0.0)
+    child_radius: float = 0.0
 
 
 def _masks(axis, nlam):
@@ -304,7 +308,9 @@ def build(
         joint_parent=tuple(bidx[j.parent] for j in joints),
         joint_child=tuple(bidx[j.child] for j in joints),
         contact_parent=tuple(bidx[c.body] for c in contacts),
-        contact_child=tuple(-1 for _ in contacts),
+        contact_child=tuple(
+            bidx[c.child] if c.child is not None else -1 for c in contacts
+        ),
         contact_kind=tuple(c.kind for c in contacts),
         tra_nfree=tuple(3 - KIND_NLAM[j.kind][0] for j in joints),
         rot_nfree=tuple(3 - KIND_NLAM[j.kind][1] for j in joints),
@@ -357,6 +363,7 @@ def build(
     c_fric, c_rad = zeros(nc), zeros(nc)
     c_norm, c_orig, c_off = zeros(nc, 3), zeros(nc, 3), zeros(nc, 3)
     c_tan = zeros(nc, 2, 3)
+    c_corig, c_crad = zeros(nc, 3), zeros(nc)
     for c, cd in enumerate(contacts):
         v1, v2, v3 = lie.orthogonal_rows(np.asarray(cd.normal, dtype=np.float64))
         A = np.stack([v1, v2, v3], axis=1)  # columns
@@ -367,6 +374,8 @@ def build(
         c_orig[c] = np.asarray(cd.origin, dtype=np.float64)
         c_rad[c] = cd.radius
         c_off[c] = np.asarray(cd.offset, dtype=np.float64)
+        c_corig[c] = np.asarray(cd.child_origin, dtype=np.float64)
+        c_crad[c] = cd.child_radius
 
     a = lambda x: jnp.asarray(x, dtype)
     params = Params(
@@ -403,6 +412,8 @@ def build(
         contact_origin=a(c_orig),
         contact_radius=a(c_rad),
         contact_offset=a(c_off),
+        contact_child_origin=a(c_corig),
+        contact_child_radius=a(c_crad),
         gravity=a(np.asarray(gravity, dtype=np.float64)),
         timestep=a(timestep),
     )

@@ -117,3 +117,79 @@ def cone_product(u, v):
     return jnp.concatenate(
         [jnp.sum(u * v, keepdims=True), u[0] * v[1:] + v[0] * u[1:]]
     )
+
+
+# ---------------------------------------------------------------------------
+# body–body collisions (reference collisions/sphere_sphere.jl + the generic
+# normal/tangent construction of collisions/collision.jl:30-180)
+# ---------------------------------------------------------------------------
+
+
+def sphere_sphere_geometry(cp, xp, qp, xc, qc):
+    """Distance, world contact points, normal (child→parent), tangents."""
+    cop = xp + lie.rotate(cp["contact_origin"], qp)
+    coc = xc + lie.rotate(cp["contact_child_origin"], qc)
+    d = cop - coc
+    dist = jnp.linalg.norm(d) - (cp["contact_radius"] + cp["contact_child_radius"])
+    n = lie.safe_normalize(d)
+    n = jnp.where(dist >= 0.0, n, -n)  # collision.jl:44-48
+    # tangent pair (collision.jl contact_tangent_one/two) with axis fallback
+    w1 = jnp.array([1.0, 0.0, 0.0], dtype=n.dtype)
+    t1a = jnp.cross(w1, n)
+    use_alt = jnp.linalg.norm(t1a) <= 1e-6
+    w2 = jnp.array([0.0, 1.0, 0.0], dtype=n.dtype)
+    t1 = jnp.where(use_alt, jnp.cross(w2, n), t1a)
+    t2 = jnp.cross(t1, n)
+    dirn = lie.safe_normalize(d)
+    cpp = cop - cp["contact_radius"] * dirn
+    cpc = coc + cp["contact_child_radius"] * dirn
+    return dist, cpp, cpc, n, jnp.stack([t1, t2])
+
+
+def halfspace_geometry(cp, xp, qp):
+    dist = halfspace_distance(cp, xp, qp)
+    cpp = halfspace_contact_point(cp, xp, qp)
+    return dist, cpp, cp["contact_normal"], cp["contact_tangent"]
+
+
+def pair_constraint_rows(cp, kind, dist, vt, s, gamma):
+    """Constraint rows from precomputed distance + tangential velocity."""
+    if kind == "impact":
+        return jnp.stack([dist - s[0]])
+    mu = cp["contact_friction"]
+    if kind == "nonlinear":
+        return jnp.concatenate(
+            [jnp.stack([dist - s[0], mu * gamma[0] - gamma[1]]), vt - s[2:4]]
+        )
+    psi = gamma[1]
+    beta = gamma[2:6]
+    return jnp.concatenate(
+        [
+            jnp.stack([dist - s[0], mu * gamma[0] - jnp.sum(beta) - s[1]]),
+            LINEAR_PARAM @ vt + psi - s[2:6],
+        ]
+    )
+
+
+def pair_wrenches(cp, kind, normal, tangent, cpp, cpc, xp3, qp3, xc3, qc3, gamma):
+    """Parent and child 6-wrenches from contact impulses γ at next config."""
+    if kind == "impact":
+        force = normal * gamma[0]
+    elif kind == "nonlinear":
+        force = normal * gamma[0] + tangent.T @ gamma[2:4]
+    else:
+        force = normal * gamma[0] + tangent.T @ (LINEAR_PARAM.T @ gamma[2:6])
+    tq_p = lie.rotate_inv(jnp.cross(cpp - xp3, force), qp3)
+    tq_c = lie.rotate_inv(jnp.cross(cpc - xc3, -force), qc3)
+    return (
+        jnp.concatenate([force, tq_p]),
+        jnp.concatenate([-force, tq_c]),
+    )
+
+
+def pair_tangential_velocity(tangent, cpp, cpc, xp, qp, vp, wp, xc, qc, vc, wc):
+    """Relative tangential velocity between the two contact points
+    (velocity.jl relative_tangential_velocity:29-41)."""
+    v_p = contact_point_velocity(xp, qp, vp, wp, cpp)
+    v_c = contact_point_velocity(xc, qc, vc, wc, cpc)
+    return tangent @ (v_p - v_c)

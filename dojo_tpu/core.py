@@ -161,6 +161,8 @@ class Params(NamedTuple):
     contact_origin: jax.Array  # (nc,3)
     contact_radius: jax.Array  # (nc,)
     contact_offset: jax.Array  # (nc,3)
+    contact_child_origin: jax.Array  # (nc,3) body-body collisions
+    contact_child_radius: jax.Array  # (nc,)
 
     # world
     gravity: jax.Array  # (3,)

@@ -40,6 +40,7 @@ _JOINT_FIELDS = [
 _CONTACT_FIELDS = [
     "contact_friction", "contact_normal", "contact_tangent",
     "contact_origin", "contact_radius", "contact_offset",
+    "contact_child_origin", "contact_child_radius",
 ]
 
 
@@ -239,24 +240,58 @@ def make_residual(topo: Topology):
 
         r_contact = jnp.zeros((nc, CW), dtype)
         if nc:
-            cp = contact_params(params)
-            wc = w[topo.contact_off :].reshape(nc, CW)
+            cp_all = contact_params(params)
+            wc_all = w[topo.contact_off :].reshape(nc, CW)
             nh = CW // 2
 
-            def one_contact(cpj, wcj, x3, q3, v25, w25):
+            def one_contact(cpj, wcj, xp3, qp3, vp, wp, xc3, qc3, vc, wcv, is_pair):
                 s, gam = wcj[:nh], wcj[nh:]
-                wrench = ct.impulse_wrench(cpj, uniform_kind, x3, q3, gam)
+                if is_pair:
+                    dist, cpp, cpc, normal, tangent = ct.sphere_sphere_geometry(
+                        cpj, xp3, qp3, xc3, qc3
+                    )
+                else:
+                    dist, cpp, normal, tangent = ct.halfspace_geometry(cpj, xp3, qp3)
+                    cpc = cpp
+                vt = (
+                    ct.pair_tangential_velocity(
+                        tangent, cpp, cpc, xp3, qp3, vp, wp, xc3, qc3, vc, wcv
+                    )
+                    if uniform_kind != "impact"
+                    else jnp.zeros(2, dtype)
+                )
+                wr_p, wr_c = ct.pair_wrenches(
+                    cpj, uniform_kind, normal, tangent, cpp, cpc,
+                    xp3, qp3, xc3, qc3, gam,
+                )
                 comp = ct.complementarity(uniform_kind, s, gam)
                 neutral = ct.neutral_vector(uniform_kind, nh, dtype)
-                cons = ct.constraint_rows(cpj, uniform_kind, x3, q3, v25, w25, s, gam)
+                cons = ct.pair_constraint_rows(cpj, uniform_kind, dist, vt, s, gam)
                 rows = jnp.concatenate([comp - mu * neutral, cons])
-                return wrench, rows
+                return wr_p, wr_c, rows
 
-            wrench, rows = jax.vmap(one_contact)(
-                cp, wc, x3a[cparent], q3a[cparent], v25a[cparent], w25a[cparent]
+            world_ids = [c for c in range(nc) if topo.contact_child[c] < 0]
+            pair_ids = [c for c in range(nc) if topo.contact_child[c] >= 0]
+            cchild = jnp.asarray(
+                np.asarray(topo.contact_child, dtype=np.int32) + 1
             )
-            imp_acc = imp_acc.at[cparent].add(wrench)
-            r_contact = rows
+            for ids, is_pair in ((world_ids, False), (pair_ids, True)):
+                if not ids:
+                    continue
+                idx = np.asarray(ids)
+                cp = {k: a[idx] for k, a in cp_all.items()}
+                p_sel, c_sel = cparent[idx], cchild[idx]
+                wr_p, wr_c, rows = jax.vmap(
+                    lambda *a: one_contact(*a, is_pair)
+                )(
+                    cp, wc_all[idx],
+                    x3a[p_sel], q3a[p_sel], v25a[p_sel], w25a[p_sel],
+                    x3a[c_sel], q3a[c_sel], v25a[c_sel], w25a[c_sel],
+                )
+                imp_acc = imp_acc.at[p_sel].add(wr_p)
+                if is_pair:
+                    imp_acc = imp_acc.at[c_sel].add(wr_c)
+                r_contact = r_contact.at[idx].set(rows)
 
         r_body = r_body - imp_acc[1:]
         return jnp.concatenate(

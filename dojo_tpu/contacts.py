@@ -131,8 +131,13 @@ def sphere_sphere_geometry(cp, xp, qp, xc, qc):
     coc = xc + lie.rotate(cp["contact_child_origin"], qc)
     d = cop - coc
     dist = jnp.linalg.norm(d) - (cp["contact_radius"] + cp["contact_child_radius"])
+    # Always child→parent (NO reference-style sign flip at dist<0,
+    # collision.jl:44-48): the flip creates a spurious mirrored solution
+    # branch (s₀<0, γ₀<0, force signs cancel) that Newton converges to on
+    # impact while the cone line search stalls at the boundary.  An
+    # unflipped normal keeps the residual continuous across dist=0 and
+    # makes transient penetration self-restoring.
     n = lie.safe_normalize(d)
-    n = jnp.where(dist >= 0.0, n, -n)  # collision.jl:44-48
     # tangent pair (collision.jl contact_tangent_one/two) with axis fallback
     w1 = jnp.array([1.0, 0.0, 0.0], dtype=n.dtype)
     t1a = jnp.cross(w1, n)

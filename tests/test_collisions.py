@@ -32,7 +32,7 @@ def test_sphere_sphere_stack():
         [bottom, top], joints, contacts, timestep=0.01, gravity=(0, 0, -9.81)
     )
     state = mech.zero_state()._replace(
-        x=jnp.asarray([[0.0, 0.0, r1], [0.02, 0.0, r1 + r2 + 0.15]])
+        x=jnp.asarray([[0.0, 0.0, r1], [0.02, 0.0, 2 * r1 + r2 + 0.15]])
     )
     opts = SolverOptions(rtol=1e-6, btol=1e-4)
     final, tr = rollout(mech, state, 60, opts=opts)

@@ -1,0 +1,134 @@
+"""Batched block-sparse LDU factorization/solve on a static schedule.
+
+The compute half of the GraphBasedSystems.jl rebuild (see graph.py):
+`ldu_factorization!` / `ldu_backsubstitution!` (used by the reference at
+src/solver/mehrotra.jl:36-49) become level-batched gather → einsum →
+scatter-add over one (slots, W, W) block array.  Every op is a small batched
+matmul — MXU-friendly, vmap/pjit-transparent, and with sequential depth
+equal to the elimination-tree depth instead of the KKT dimension.
+
+All functions are shape-static closures over a graph.Schedule; they take and
+return plain arrays so they can be called under jit/vmap (the leading batch
+dimension is implicit — inputs may be (S,W,W) or (...,S,W,W)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import Schedule
+
+
+def gj_inverse(D, n):
+    """Batched Gauss–Jordan inverse with partial pivoting, unrolled.
+
+    D: (..., W, W) with an invertible leading n×n block, identity on the
+    decoupled pad dims.  Returns the full (..., W, W) inverse.  Replaces
+    jnp.linalg.inv, whose TPU custom call costs ~ms in launch/layout
+    overhead on small batched blocks.
+    """
+    W = D.shape[-1]
+    dtype = D.dtype
+    eye = jnp.broadcast_to(jnp.eye(W, dtype=dtype), D.shape)
+    M = jnp.concatenate([D, eye], axis=-1)  # (..., W, 2W)
+    idx = jnp.arange(W)
+    for k in range(n):
+        col = M[..., :, k]
+        mag = jnp.where((idx >= k) & (idx < n), jnp.abs(col), -jnp.inf)
+        p = jnp.argmax(mag, axis=-1)  # (...,)
+        onehot_p = (idx == p[..., None]).astype(dtype)  # (..., W)
+        ek = (idx == k).astype(dtype)  # (W,)
+        Mp = jnp.einsum("...r,...rc->...c", onehot_p, M)  # pivot row
+        Mk = M[..., k, :]
+        M = (
+            M
+            + ek[:, None] * (Mp - Mk)[..., None, :]
+            + onehot_p[..., None] * (Mk - Mp)[..., None, :]
+        )
+        a = M[..., k, k]
+        a = jnp.where(jnp.abs(a) > 1e-30, a, 1e-30)
+        rowk = M[..., k, :] / a[..., None]
+        col2 = M[..., :, k]
+        M = M - col2[..., None] * rowk[..., None, :]
+        M = M + ek[:, None] * rowk[..., None, :]
+    return M[..., W:]
+
+
+def make_ldu(sched: Schedule):
+    """Returns (extract, factorize, solve) closures for a schedule."""
+
+    S, W, N = sched.n_slots, sched.width, sched.n_nodes
+    rows = jnp.asarray(sched.rows)  # (S,W)
+    cols = jnp.asarray(sched.cols)
+    vec_idx = jnp.asarray(sched.vec_idx)  # (N,W)
+
+    def extract(J):
+        """Gather node/edge blocks out of a dense (dim,dim) Jacobian.
+
+        Pad dims read the zero pad row/col; diagonal pads get identity so
+        every diagonal block stays invertible.
+        """
+        dtype = J.dtype
+        Jp = jnp.pad(J, ((0, 1), (0, 1)))
+        blocks = Jp[rows[:, :, None], cols[:, None, :]]  # (S,W,W)
+        return blocks + jnp.asarray(sched.pad_eye, dtype)
+
+    def factorize(blocks):
+        """Leaves-to-root elimination (ldu_factorization!).
+
+        Returns (blocks', Dinv) where blocks' holds the factored off-diagonal
+        blocks and Dinv the per-node inverted (Schur-updated) diagonals.
+        """
+        dtype = blocks.dtype
+        Dinv = jnp.zeros((N, W, W), dtype)
+        for lv in sched.levels:
+            nodes = jnp.asarray(lv.nodes)
+            D = blocks[nodes]  # (k,W,W) diag slots are 0..N-1
+            Dinv = Dinv.at[nodes].set(gj_inverse(D, lv.real_w))
+            if lv.upd_tgt.size:
+                A = blocks[jnp.asarray(lv.upd_ai)]  # (m,W,W)
+                Iv = Dinv[jnp.asarray(lv.upd_inv)]
+                Cb = blocks[jnp.asarray(lv.upd_ib)]
+                delta = jnp.einsum("mij,mjk,mkl->mil", A, Iv, Cb)
+                blocks = blocks.at[jnp.asarray(lv.upd_tgt)].add(-delta)
+        return blocks, Dinv
+
+    def solve(fact, rhs):
+        """Two-pass backsubstitution (ldu_backsubstitution!) for rhs (dim,)."""
+        blocks, Dinv = fact
+        dtype = rhs.dtype
+        rp = jnp.concatenate([rhs, jnp.zeros((1,), dtype)])
+        b = rp[vec_idx]  # (N,W) pads read 0
+        # forward: leaves → root,  b_a -= E_{a,i} (Dinv_i b_i)
+        for lv in sched.levels:
+            if lv.fwd_a.size:
+                i = jnp.asarray(lv.fwd_i)
+                y = jnp.einsum("fij,fj->fi", Dinv[i], b[i])
+                Eai = blocks[jnp.asarray(lv.fwd_ai)]
+                b = b.at[jnp.asarray(lv.fwd_a)].add(
+                    -jnp.einsum("fij,fj->fi", Eai, y)
+                )
+        # backward: root → leaves,  x_i = Dinv_i (b_i - Σ E_{i,a} x_a)
+        x = jnp.zeros((N, W), dtype)
+        for lv in reversed(sched.levels):
+            acc = b
+            if lv.bwd_i.size:
+                Eia = blocks[jnp.asarray(lv.bwd_ia)]
+                contrib = jnp.einsum(
+                    "gij,gj->gi", Eia, x[jnp.asarray(lv.bwd_a)]
+                )
+                acc = acc.at[jnp.asarray(lv.bwd_i)].add(-contrib)
+            nodes = jnp.asarray(lv.nodes)
+            x = x.at[nodes].set(
+                jnp.einsum("kij,kj->ki", Dinv[nodes], acc[nodes])
+            )
+        # scatter node vectors back into a flat w-direction
+        out = jnp.zeros((rhs.shape[0] + 1,), dtype)
+        out = out.at[vec_idx.reshape(-1)].add(
+            (x * jnp.asarray(sched.vec_valid, dtype)).reshape(-1)
+        )
+        return out[:-1]
+
+    return extract, factorize, solve

@@ -157,6 +157,74 @@ def pad_inputs(topo: Topology, u_packed):
     return pad
 
 
+def body_rows(mass_i, inertia_i, x1, q1, x2, q2, jf2, jt2, fext, text,
+              v25, w25, g, h):
+    """One body's 6 dynamics rows (integrators/constraint.jl:1-34), as a
+    function of its candidate velocities.  Shared by the residual and the
+    per-node block assembler (blocks.py)."""
+    x3 = lie.next_position(x2, v25, h)
+    q3 = lie.next_orientation(q2, w25, h)
+    d1x = -mass_i / h * (x2 - x1) - 0.5 * h * (mass_i * g + fext)
+    d2x = mass_i / h * (x3 - x2) - 0.5 * h * (mass_i * g + fext)
+    w1 = lie.qmul(lie.qconj(q1), q2)[1:]
+    t1 = lie.qmul(lie.qconj(q2), lie.qmul(q1, _vt(inertia_i @ w1)))[1:]
+    w2 = lie.qmul(lie.qconj(q2), q3)[1:]
+    t2 = lie.qmul(
+        lie.qconj(q2), _tconj(lie.qmul(_vt(inertia_i @ w2), lie.qconj(q3)))
+    )[1:]
+    dyn_r = -2.0 / h * (t1 + t2) - h * text
+    return jnp.concatenate([d1x + d2x - jf2, dyn_r - jt2])
+
+
+def contact_terms(cpj, kind, is_pair, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv,
+                  h, mu, nh):
+    """One contact's body wrenches + residual rows, as a function of its
+    impulses and the adjacent bodies' candidate velocities (contact rows
+    evaluated at next config, contacts/constraints.jl:72-76)."""
+    dtype = wcj.dtype
+    xp3 = lie.next_position(xp2, vp, h)
+    qp3 = lie.next_orientation(qp2, wp, h)
+    xc3 = lie.next_position(xc2, vc, h)
+    qc3 = lie.next_orientation(qc2, wcv, h)
+    s, gam = wcj[:nh], wcj[nh:]
+    if is_pair:
+        dist, cpp, cpc, normal, tangent = ct.sphere_sphere_geometry(
+            cpj, xp3, qp3, xc3, qc3
+        )
+    else:
+        dist, cpp, normal, tangent = ct.halfspace_geometry(cpj, xp3, qp3)
+        cpc = cpp
+    vt = (
+        ct.pair_tangential_velocity(
+            tangent, cpp, cpc, xp3, qp3, vp, wp, xc3, qc3, vc, wcv
+        )
+        if kind != "impact"
+        else jnp.zeros(2, dtype)
+    )
+    wr_p, wr_c = ct.pair_wrenches(
+        cpj, kind, normal, tangent, cpp, cpc, xp3, qp3, xc3, qc3, gam
+    )
+    comp = ct.complementarity(kind, s, gam)
+    neutral = ct.neutral_vector(kind, nh, dtype)
+    cons = ct.pair_constraint_rows(cpj, kind, dist, vt, s, gam)
+    rows = jnp.concatenate([comp - mu * neutral, cons])
+    return wr_p, wr_c, rows
+
+
+def joint_terms(jp, eta, xa2, qa2, xb2, qb2, va, wa, vb, wb, h, mu, ML, SW):
+    """One joint's impulse wrenches + residual rows as a function of its
+    impulses and the adjacent bodies' candidate velocities (next configs
+    recomputed internally so jacfwd sees the full v-dependence)."""
+    xa3 = lie.next_position(xa2, va, h)
+    qa3 = lie.next_orientation(qa2, wa, h)
+    xb3 = lie.next_position(xb2, vb, h)
+    qb3 = lie.next_orientation(qb2, wb, h)
+    return _joint_terms(
+        jp, eta, xa2, qa2, xb2, qb2, xa3, qa3, xb3, qb3,
+        va, wa, vb, wb, h, mu, ML, SW,
+    )
+
+
 def make_residual(topo: Topology):
     """Returns residual(w, ctx, params, mu) -> r, shaped (topo.dim,)."""
     import numpy as np
@@ -180,40 +248,20 @@ def make_residual(topo: Topology):
         bv = w[: 6 * nb].reshape(nb, 6)
         v25, w25 = bv[:, :3], bv[:, 3:]
 
-        # next configuration (integrator.jl:14-15)
-        x3 = lie.next_position(ctx.x2, v25, h)
-        q3 = lie.next_orientation(ctx.q2, w25, h)
-
-        # augmented (origin row 0) configs for gathers
+        # augmented (origin row 0) arrays for gathers
         x2a, q2a = _aug(ctx.x2, z3), _aug(ctx.q2, qid)
-        x3a, q3a = _aug(x3, z3), _aug(q3, qid)
         v25a, w25a = _aug(v25, z3), _aug(w25, z3)
 
         # ---- body dynamics rows (integrators/constraint.jl:1-34) ----------
-        m = params.mass[:, None]
         g = params.gravity
-        d1x = -m / h * (ctx.x2 - ctx.x1) - 0.5 * h * (m * g + ctx.fext)
-        d2x = m / h * (x3 - ctx.x2) - 0.5 * h * (m * g + ctx.fext)
-        dyn_t = d1x + d2x
-
-        J = params.inertia
-
-        def rot_terms(q1, q2, q3, Jb, text):
-            # D1q + D2q, the discrete Euler–Lagrange rotational balance
-            # (integrators/constraint.jl:17-20), written with quaternion
-            # products instead of L/R/V/T matrix chains.
-            w1 = lie.qmul(lie.qconj(q1), q2)[1:]  # V L(q1)ᵀ q2
-            t1 = lie.qmul(lie.qconj(q2), lie.qmul(q1, _vt(Jb @ w1)))[1:]
-            w2 = lie.qmul(lie.qconj(q2), q3)[1:]  # V L(q2)ᵀ q3
-            t2 = lie.qmul(
-                lie.qconj(q2), _tconj(lie.qmul(_vt(Jb @ w2), lie.qconj(q3)))
-            )[1:]
-            return -2.0 / h * (t1 + t2) - h * text
-
-        dyn_r = jax.vmap(rot_terms)(ctx.q1, ctx.q2, q3, J, ctx.text)
-
-        r_body = jnp.concatenate([dyn_t, dyn_r], axis=-1)  # (nb,6)
-        r_body = r_body - jnp.concatenate([ctx.jf2, ctx.jt2], axis=-1)
+        r_body = jax.vmap(
+            lambda m_i, J_i, x1, q1, x2, q2, jf, jt, fe, te, v, om: body_rows(
+                m_i, J_i, x1, q1, x2, q2, jf, jt, fe, te, v, om, g, h
+            )
+        )(
+            params.mass, params.inertia, ctx.x1, ctx.q1, ctx.x2, ctx.q2,
+            ctx.jf2, ctx.jt2, ctx.fext, ctx.text, v25, w25,
+        )
 
         imp_acc = jnp.zeros((nb + 1, 6), dtype)
         r_joint = jnp.zeros((nj, JW), dtype)
@@ -222,17 +270,13 @@ def make_residual(topo: Topology):
             jp = joint_params(params)
             eta = w[topo.joint_off : topo.joint_off + nj * JW].reshape(nj, JW)
 
-            def one_joint(jpj, etaj, xa2, qa2, xb2, qb2, xa3, qa3, xb3, qb3,
-                          va, wa, vb, wb):
-                return _joint_terms(
-                    jpj, etaj, xa2, qa2, xb2, qb2, xa3, qa3, xb3, qb3,
-                    va, wa, vb, wb, h, mu, ML, SW,
+            imp_p, imp_c, rows = jax.vmap(
+                lambda jpj, etaj, xa2, qa2, xb2, qb2, va, wa, vb, wb: joint_terms(
+                    jpj, etaj, xa2, qa2, xb2, qb2, va, wa, vb, wb, h, mu, ML, SW
                 )
-
-            imp_p, imp_c, rows = jax.vmap(one_joint)(
+            )(
                 jp, eta,
                 x2a[jparent], q2a[jparent], x2a[jchild], q2a[jchild],
-                x3a[jparent], q3a[jparent], x3a[jchild], q3a[jchild],
                 v25a[jparent], w25a[jparent], v25a[jchild], w25a[jchild],
             )
             imp_acc = imp_acc.at[jparent].add(imp_p).at[jchild].add(imp_c)
@@ -243,32 +287,6 @@ def make_residual(topo: Topology):
             cp_all = contact_params(params)
             wc_all = w[topo.contact_off :].reshape(nc, CW)
             nh = CW // 2
-
-            def one_contact(cpj, wcj, xp3, qp3, vp, wp, xc3, qc3, vc, wcv, is_pair):
-                s, gam = wcj[:nh], wcj[nh:]
-                if is_pair:
-                    dist, cpp, cpc, normal, tangent = ct.sphere_sphere_geometry(
-                        cpj, xp3, qp3, xc3, qc3
-                    )
-                else:
-                    dist, cpp, normal, tangent = ct.halfspace_geometry(cpj, xp3, qp3)
-                    cpc = cpp
-                vt = (
-                    ct.pair_tangential_velocity(
-                        tangent, cpp, cpc, xp3, qp3, vp, wp, xc3, qc3, vc, wcv
-                    )
-                    if uniform_kind != "impact"
-                    else jnp.zeros(2, dtype)
-                )
-                wr_p, wr_c = ct.pair_wrenches(
-                    cpj, uniform_kind, normal, tangent, cpp, cpc,
-                    xp3, qp3, xc3, qc3, gam,
-                )
-                comp = ct.complementarity(uniform_kind, s, gam)
-                neutral = ct.neutral_vector(uniform_kind, nh, dtype)
-                cons = ct.pair_constraint_rows(cpj, uniform_kind, dist, vt, s, gam)
-                rows = jnp.concatenate([comp - mu * neutral, cons])
-                return wr_p, wr_c, rows
 
             world_ids = [c for c in range(nc) if topo.contact_child[c] < 0]
             pair_ids = [c for c in range(nc) if topo.contact_child[c] >= 0]
@@ -282,11 +300,14 @@ def make_residual(topo: Topology):
                 cp = {k: a[idx] for k, a in cp_all.items()}
                 p_sel, c_sel = cparent[idx], cchild[idx]
                 wr_p, wr_c, rows = jax.vmap(
-                    lambda *a: one_contact(*a, is_pair)
+                    lambda cpj, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv: contact_terms(
+                        cpj, uniform_kind, is_pair, wcj,
+                        xp2, qp2, vp, wp, xc2, qc2, vc, wcv, h, mu, nh,
+                    )
                 )(
                     cp, wc_all[idx],
-                    x3a[p_sel], q3a[p_sel], v25a[p_sel], w25a[p_sel],
-                    x3a[c_sel], q3a[c_sel], v25a[c_sel], w25a[c_sel],
+                    x2a[p_sel], q2a[p_sel], v25a[p_sel], w25a[p_sel],
+                    x2a[c_sel], q2a[c_sel], v25a[c_sel], w25a[c_sel],
                 )
                 imp_acc = imp_acc.at[p_sel].add(wr_p)
                 if is_pair:

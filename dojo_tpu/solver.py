@@ -95,10 +95,26 @@ def _soc_init(g, s, eps=1e-20):
     return g0, s0
 
 
-def make_solver(topo: Topology):
-    """Build (init_w, solve) closures for a topology."""
+def make_solver(topo: Topology, linsolve: str = "auto"):
+    """Build (init_w, solve) closures for a topology.
+
+    linsolve: 'auto' uses the graph-sparse block LDU (graph.py/ldu.py —
+    the GraphBasedSystems.jl rebuild) when the mechanism graph is loop-free,
+    falling back to a dense LU otherwise; 'dense' forces the dense path.
+    """
     res_fn = make_residual(topo)
     cones = cone_index_sets(topo)
+    sched = None
+    if linsolve == "auto":
+        from .graph import build_schedule
+
+        sched = build_schedule(topo)
+    if sched is not None:
+        from .blocks import make_assembler
+        from .ldu import make_ldu
+
+        ldu_extract, ldu_factorize, ldu_solve = make_ldu(sched)
+        ldu_assemble = make_assembler(topo, sched)
     D = topo.dim
     nb, nj, nc, ML = topo.nb, topo.nj, topo.nc, topo.maxlim
     SW, JW, CW = topo.sw, topo.jw, topo.cw
@@ -278,15 +294,20 @@ def make_solver(topo: Topology):
         def body(st):
             (w, rvio, bvio, mu_asm, ucut, noprog, it, _) = st
             r = res_fn(w, ctx, params, mu_asm)
-            J = jac(w, ctx, params, mu_asm) + REG * eye
-            lu, piv = jax.scipy.linalg.lu_factor(J)
-            daff = jax.scipy.linalg.lu_solve((lu, piv), -r)
+            if sched is not None:
+                fact = ldu_factorize(ldu_assemble(w, ctx, params, mu_asm))
+                lin_solve = lambda rhs: ldu_solve(fact, rhs)
+            else:
+                J = jac(w, ctx, params, mu_asm) + REG * eye
+                lu, piv = jax.scipy.linalg.lu_factor(J)
+                lin_solve = lambda rhs: jax.scipy.linalg.lu_solve((lu, piv), rhs)
+            daff = lin_solve(-r)
             aaff = cone_line_search(w, daff, 0.95, 0.95, oact)
             nu, nuaff = centering(w, daff, aaff, oact)
             sigma = jnp.clip(nuaff / (nu + 1e-20), 0.0, 1.0) ** 3
             mu_t = jnp.maximum(sigma * nu, opts.btol / ucut)
             rhs = -r + correction(daff, mu_t, oact)
-            d = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+            d = lin_solve(rhs)
             tau = jnp.maximum(0.95, 1.0 - jnp.maximum(rvio, bvio) ** 2)
             alpha = cone_line_search(w, d, tau, jnp.minimum(tau, 0.95), oact)
             w2, rv2, bv2 = backtrack(

@@ -24,7 +24,14 @@ def main():
     from dojo_tpu.simulate import make_step
 
     mech = models.get_mechanism("quadruped", timestep=0.05)
-    state = models.initialize(mech, "quadruped")
+    f32 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        t,
+    )
+    state = f32(models.initialize(mech, "quadruped"))
+    mech.params = f32(mech.params)
     opts = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30)
     step = make_step(mech.topo, opts)
 
@@ -35,7 +42,7 @@ def main():
     @jax.jit
     def batched_step(params, st, u):
         new_state, info = jax.vmap(step, in_axes=(None, 0, 0))(params, st, u)
-        return new_state, info.iterations
+        return new_state, (info.iterations, info.success)
 
     # warmup/compile
     st2, iters = batched_step(mech.params, batt, u)
@@ -53,6 +60,7 @@ def main():
     steps_per_s = B * K / dt
     mpc_solves_per_s = steps_per_s / 40.0  # H=40 rollout ≈ 1 MPC solve unit
     target = 40000.0  # 1000 MPC solves/s × H=40 contact steps
+    its, succ = iters
     print(
         json.dumps(
             {
@@ -60,6 +68,8 @@ def main():
                 "value": round(steps_per_s, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_s / target, 4),
+                "solver_success_rate": round(float(np.mean(np.asarray(succ))), 4),
+                "mean_newton_iters": round(float(np.mean(np.asarray(its))), 1),
             }
         )
     )

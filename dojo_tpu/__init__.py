@@ -22,8 +22,10 @@ from .builder import (
     box_body,
     build,
     cylinder_body,
+    reduce_fixed_joints,
     sphere_body,
 )
+from .contacts import contact_locations, signed_distances
 from .core import BodyState, Params, SolverOptions, Topology, REG
 from .residual import make_context, make_residual, pad_inputs
 from .simulate import StepInfo, Trajectory, make_simulate, make_step

@@ -50,11 +50,9 @@ def make_assembler(topo: Topology, sched: Schedule):
             return TRASH
         return slot[(a, b)]
 
-    jnode = lambda j: nb + j
-    cnode = lambda c: nb + nj + c
-
     # ---- static slot tables -------------------------------------------------
-    # joints: roles (rows×cols) over {j, p, c} — 9 slots per joint
+    # joints are amalgamated into their CHILD body supernode: joint 'j'
+    # rows/cols live at a static offset inside the child node's block
     jp_body = [topo.joint_parent[j] if topo.joint_parent[j] >= 0 else None
                for j in range(nj)]
     jc_body = [topo.joint_child[j] for j in range(nj)]
@@ -63,13 +61,25 @@ def make_assembler(topo: Topology, sched: Schedule):
         out = []
         for j in range(nj):
             a, b = role
-            pick = {"j": jnode(j), "p": jp_body[j], "c": jc_body[j]}
+            pick = {
+                "j": int(sched.joint_node[j]),
+                "p": jp_body[j],
+                "c": jc_body[j],
+            }
             out.append(slot_of(pick[a], pick[b]))
         return np.asarray(out, dtype=np.int32)
 
     J_ROLES = ["jj", "jp", "jc", "pj", "pp", "pc", "cj", "cp", "cc"]
     j_slot_tab = {r: jslots(r) for r in J_ROLES}
+    # one-hot row/col placement of the joint block inside its child supernode
+    Pj = np.zeros((nj, W, JW))
+    for j in range(nj):
+        off = int(sched.joint_offset[j])
+        for i in range(JW):
+            Pj[j, off + i, i] = 1.0
 
+    # contacts are amalgamated into their parent body supernode: contact 'k'
+    # rows/cols live at a static offset inside the parent node's block
     cp_body = [topo.contact_parent[c] for c in range(nc)]
     cc_body = [topo.contact_child[c] if topo.contact_child[c] >= 0 else None
                for c in range(nc)]
@@ -78,12 +88,18 @@ def make_assembler(topo: Topology, sched: Schedule):
         out = []
         for c in range(nc):
             a, b = role
-            pick = {"k": cnode(c), "p": cp_body[c], "c": cc_body[c]}
+            pick = {"k": cp_body[c], "p": cp_body[c], "c": cc_body[c]}
             out.append(slot_of(pick[a], pick[b]))
         return np.asarray(out, dtype=np.int32)
 
     C_ROLES = ["kk", "kp", "kc", "pk", "pp", "pc", "ck", "cp", "cc"]
     c_slot_tab = {r: cslots(r) for r in C_ROLES}
+    # one-hot row/col placement of the contact block inside its supernode
+    Pk = np.zeros((nc, W, CW)) if nc else np.zeros((0, W, CW))
+    for c in range(nc):
+        off = int(sched.contact_offset[c])
+        for i in range(CW):
+            Pk[c, off + i, i] = 1.0
 
     body_diag_slots = np.arange(nb, dtype=np.int32)
 
@@ -96,8 +112,14 @@ def make_assembler(topo: Topology, sched: Schedule):
 
     kinds = topo.contact_kind
     uniform_kind = kinds[0] if nc else None
-    world_ids = np.asarray([c for c in range(nc) if topo.contact_child[c] < 0])
-    pair_ids = np.asarray([c for c in range(nc) if topo.contact_child[c] >= 0])
+    geoms = topo.contact_geom or tuple(
+        "halfspace" if topo.contact_child[c] < 0 else "sphere"
+        for c in range(nc)
+    )
+    geom_ids = {
+        g: np.asarray([c for c in range(nc) if geoms[c] == g])
+        for g in sorted(set(geoms))
+    }
 
     pad_eye = jnp.asarray(sched.pad_eye)  # (S, W, W)
 
@@ -162,12 +184,22 @@ def make_assembler(topo: Topology, sched: Schedule):
             # row groups: rows(JW), -imp_p(6), -imp_c(6); col groups: eta(JW),
             # v_p(6), v_c(6)
             rg = {"j": (0, JW), "p": (JW, JW + 6), "c": (JW + 6, JW + 12)}
+            Pj_d = jnp.asarray(Pj, dtype)
             for role in J_ROLES:
                 ra, cb = role[0], role[1]
                 r0, r1 = rg[ra]
                 c0, c1 = rg[cb]
                 sub = JJ[:, r0:r1, c0:c1]
-                sub = jax.vmap(lambda M: _pad(M, r1 - r0, c1 - c0))(sub)
+                # 'j' rows/cols sit at the joint's offset inside its child
+                # supernode; 'p'/'c' body velocities sit at offset 0
+                if ra == "j":
+                    sub = jnp.einsum("nwr,nrc->nwc", Pj_d, sub)
+                else:
+                    sub = jnp.pad(sub, ((0, 0), (0, W - sub.shape[1]), (0, 0)))
+                if cb == "j":
+                    sub = jnp.einsum("nrc,nvc->nrv", sub, Pj_d)
+                else:
+                    sub = jnp.pad(sub, ((0, 0), (0, 0), (0, W - sub.shape[2])))
                 blocks = blocks.at[j_slot_tab[role]].add(sub)
 
         # ---- contacts --------------------------------------------------------
@@ -176,19 +208,20 @@ def make_assembler(topo: Topology, sched: Schedule):
             wc_all = w[topo.contact_off :].reshape(nc, CW)
             nh = CW // 2
 
-            for ids, is_pair in ((world_ids, False), (pair_ids, True)):
+            for geom, ids in geom_ids.items():
                 if ids.size == 0:
                     continue
                 cpd = {k: a[ids] for k, a in cp_all.items()}
                 p_sel, c_sel = cparent_a[ids], cchild_a[ids]
 
-                def contact_jac(cpj, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv):
+                def contact_jac(cpj, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv,
+                                geom=geom):
                     def f(u):
                         wc_ = u[:CW]
                         vpp, wpp = u[CW : CW + 3], u[CW + 3 : CW + 6]
                         vcp, wcp = u[CW + 6 : CW + 9], u[CW + 9 : CW + 12]
                         wr_p, wr_c, rows = contact_terms(
-                            cpj, uniform_kind, is_pair, wc_,
+                            cpj, uniform_kind, geom, wc_,
                             xp2, qp2, vpp, wpp, xc2, qc2, vcp, wcp, h, mu, nh,
                         )
                         return jnp.concatenate([rows, -wr_p, -wr_c])
@@ -202,13 +235,25 @@ def make_assembler(topo: Topology, sched: Schedule):
                     x2a[c_sel], q2a[c_sel], v25a[c_sel], w25a[c_sel],
                 )
                 rg = {"k": (0, CW), "p": (CW, CW + 6), "c": (CW + 6, CW + 12)}
-                roles = C_ROLES if is_pair else ["kk", "kp", "pk", "pp"]
+                Pk_ids = jnp.asarray(Pk[ids], dtype)
+                roles = (
+                    ["kk", "kp", "pk", "pp"] if geom == "halfspace" else C_ROLES
+                )
                 for role in roles:
                     ra, cb = role[0], role[1]
                     r0, r1 = rg[ra]
                     c0, c1 = rg[cb]
                     sub = CJ[:, r0:r1, c0:c1]
-                    sub = jax.vmap(lambda M: _pad(M, r1 - r0, c1 - c0))(sub)
+                    # 'k' rows/cols sit at the contact's offset inside its
+                    # parent supernode; 'p'/'c' body velocities sit at 0
+                    if ra == "k":
+                        sub = jnp.einsum("nwr,nrc->nwc", Pk_ids, sub)
+                    else:
+                        sub = jnp.pad(sub, ((0, 0), (0, W - sub.shape[1]), (0, 0)))
+                    if cb == "k":
+                        sub = jnp.einsum("nrc,nvc->nrv", sub, Pk_ids)
+                    else:
+                        sub = jnp.pad(sub, ((0, 0), (0, 0), (0, W - sub.shape[2])))
                     blocks = blocks.at[c_slot_tab[role][ids]].add(sub)
 
         # REG on real diagonal dims + identity on pad dims (matches the dense

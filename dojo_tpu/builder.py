@@ -75,6 +75,10 @@ class JointDef:
     parent: str  # body name or 'origin'
     child: str
     axis: Sequence = (1.0, 0.0, 0.0)
+    # rotational-subjoint axis override (defaults to `axis`); needed when a
+    # fixed-joint merge (reduce_fixed_joints) conjugates the rotational
+    # constraint frame while the translational one stays in the parent frame
+    rot_axis: Optional[Sequence] = None
     parent_vertex: Sequence = (0.0, 0.0, 0.0)
     child_vertex: Sequence = (0.0, 0.0, 0.0)
     orientation_offset: Sequence = (1.0, 0.0, 0.0, 0.0)
@@ -97,10 +101,133 @@ class ContactDef:
     radius: float = 0.0
     offset: Sequence = (0.0, 0.0, 0.0)  # halfspace offset in world frame
     name: Optional[str] = None
-    # body-body collision (sphere-sphere): set child to a body name
+    # body-body collision: set child to a body name.  The pair geometry is
+    # sphere-sphere by default; give capsule endpoints / box size / string
+    # length for the other collision pairs (reference src/contacts/
+    # collisions/{sphere_sphere,sphere_capsule,sphere_box,string}.jl).
     child: Optional[str] = None
     child_origin: Sequence = (0.0, 0.0, 0.0)
     child_radius: float = 0.0
+    capsule: Optional[tuple] = None  # (endpoint_a(3), endpoint_b(3)) child frame
+    box: Optional[Sequence] = None  # (width, depth, height) of child box
+    string_length: Optional[float] = None  # taut-string maximum length
+
+    @property
+    def geom(self) -> str:
+        if self.child is None:
+            return "halfspace"
+        if self.capsule is not None:
+            return "capsule"
+        if self.box is not None:
+            return "box"
+        if self.string_length is not None:
+            return "string"
+        return "sphere"
+
+
+def reduce_fixed_joints(bodies, joints, contacts=()):
+    """Merge bodies across body-body Fixed joints (reference
+    mechanism/methods.jl reduce_fixed_joints:161-233, extended to rewrite
+    contact attachments, which the reference marks TODO).
+
+    Operates on definition lists before build().  The merged body keeps the
+    parent's name and orientation; its origin moves to the combined COM.
+    Origin-welded fixed joints are kept as constraints (reference behavior:
+    parent == origin keeps com at zero — equivalent dynamics either way).
+    """
+    import copy
+
+    bodies = [copy.deepcopy(b) for b in bodies]
+    joints = [copy.deepcopy(j) for j in joints]
+    contacts = [copy.deepcopy(c) for c in contacts]
+
+    def rmat(q):
+        return np.asarray(lie.rotation_matrix(jnp.asarray(q, jnp.float64)))
+
+    def kmat(d):
+        d = np.asarray(d, dtype=np.float64)
+        return float(d @ d) * np.eye(3) - np.outer(d, d)
+
+    while True:
+        jfix = next(
+            (j for j in joints if j.kind == "fixed" and j.parent != "origin"),
+            None,
+        )
+        if jfix is None:
+            return bodies, joints, contacts
+        p = next(b for b in bodies if b.name == jfix.parent)
+        c = next(b for b in bodies if b.name == jfix.child)
+        off = np.asarray(jfix.orientation_offset, dtype=np.float64)
+        R = rmat(off)
+        # child origin in parent frame (methods.jl:181)
+        delta = np.asarray(jfix.parent_vertex, dtype=np.float64) - R @ np.asarray(
+            jfix.child_vertex, dtype=np.float64
+        )
+        m = p.mass + c.mass
+        s = c.mass / m * delta  # new COM in old parent frame (methods.jl:187)
+        Jp = p.inertia_matrix() + p.mass * kmat(-s)
+        Jc = R @ c.inertia_matrix() @ R.T + c.mass * kmat(delta - s)
+        p.mass = m
+        p.inertia = Jp + Jc
+
+        def to_parent(v):
+            return R @ np.asarray(v, dtype=np.float64) + delta - s
+
+        for jd in joints:
+            if jd is jfix:
+                continue
+            if jd.parent == p.name:
+                jd.parent_vertex = np.asarray(jd.parent_vertex, np.float64) - s
+            elif jd.child == p.name:
+                jd.child_vertex = np.asarray(jd.child_vertex, np.float64) - s
+            elif jd.parent == c.name:
+                jd.parent = p.name
+                jd.parent_vertex = to_parent(jd.parent_vertex)
+                # translational displacement (expressed in the jd-parent's
+                # body frame) rotates by R(off): d' = R(off)·d → tra axis
+                # rotates.  The rotational displacement is EXACTLY unchanged
+                # once off_jd' = off ∘ off_jd absorbs the frame change, so
+                # the rot axis must stay.
+                if jd.rot_axis is None:
+                    jd.rot_axis = np.asarray(jd.axis, dtype=np.float64)
+                jd.axis = R @ np.asarray(jd.axis, dtype=np.float64)
+                jd.orientation_offset = np.asarray(
+                    lie.qmul(
+                        jnp.asarray(off, jnp.float64),
+                        jnp.asarray(jd.orientation_offset, jnp.float64),
+                    )
+                )
+            elif jd.child == c.name:
+                jd.child = p.name
+                jd.child_vertex = to_parent(jd.child_vertex)
+                # q_child = q_merged ∘ off, so the relative rotation becomes
+                # off_jd⁻¹ q_par⁻¹ q_m off = off⁻¹ ∘ [(off_jd off⁻¹)⁻¹
+                # q_par⁻¹ q_m] ∘ off — a conjugation: rotation_vector picks up
+                # R(off)ᵀ, i.e. the ROT axis rotates by R(off) while the
+                # translational frame (parent side) is untouched.
+                jd.rot_axis = R @ np.asarray(
+                    jd.axis if jd.rot_axis is None else jd.rot_axis,
+                    dtype=np.float64,
+                )
+                jd.orientation_offset = np.asarray(
+                    lie.qmul(
+                        jnp.asarray(jd.orientation_offset, jnp.float64),
+                        lie.qconj(jnp.asarray(off, jnp.float64)),
+                    )
+                )
+        for cd in contacts:
+            if cd.body == p.name:
+                cd.origin = np.asarray(cd.origin, np.float64) - s
+            elif cd.body == c.name:
+                cd.body = p.name
+                cd.origin = to_parent(cd.origin)
+            if cd.child == p.name:
+                cd.child_origin = np.asarray(cd.child_origin, np.float64) - s
+            elif cd.child == c.name:
+                cd.child = p.name
+                cd.child_origin = to_parent(cd.child_origin)
+        joints.remove(jfix)
+        bodies.remove(c)
 
 
 def _masks(axis, nlam):
@@ -312,6 +439,7 @@ def build(
             bidx[c.child] if c.child is not None else -1 for c in contacts
         ),
         contact_kind=tuple(c.kind for c in contacts),
+        contact_geom=tuple(c.geom for c in contacts),
         tra_nfree=tuple(3 - KIND_NLAM[j.kind][0] for j in joints),
         rot_nfree=tuple(3 - KIND_NLAM[j.kind][1] for j in joints),
         root_to_leaves=tuple(order),
@@ -338,7 +466,9 @@ def build(
     for j, jd in enumerate(joints):
         nl_t, nl_r = KIND_NLAM[jd.kind]
         tra_cmask[j], tra_nmask[j], tra_lam[j], tra_free[j] = _masks(jd.axis, nl_t)
-        rot_cmask[j], rot_nmask[j], rot_lam[j], rot_free[j] = _masks(jd.axis, nl_r)
+        rot_cmask[j], rot_nmask[j], rot_lam[j], rot_free[j] = _masks(
+            jd.axis if jd.rot_axis is None else jd.rot_axis, nl_r
+        )
         tvp[j] = np.asarray(jd.parent_vertex, dtype=np.float64)
         tvc[j] = np.asarray(jd.child_vertex, dtype=np.float64)
         o = np.asarray(jd.orientation_offset, dtype=np.float64)
@@ -364,6 +494,7 @@ def build(
     c_norm, c_orig, c_off = zeros(nc, 3), zeros(nc, 3), zeros(nc, 3)
     c_tan = zeros(nc, 2, 3)
     c_corig, c_crad = zeros(nc, 3), zeros(nc)
+    c_aux = zeros(nc, 6)
     for c, cd in enumerate(contacts):
         v1, v2, v3 = lie.orthogonal_rows(np.asarray(cd.normal, dtype=np.float64))
         A = np.stack([v1, v2, v3], axis=1)  # columns
@@ -376,6 +507,13 @@ def build(
         c_off[c] = np.asarray(cd.offset, dtype=np.float64)
         c_corig[c] = np.asarray(cd.child_origin, dtype=np.float64)
         c_crad[c] = cd.child_radius
+        if cd.capsule is not None:
+            c_aux[c, :3] = np.asarray(cd.capsule[0], dtype=np.float64)
+            c_aux[c, 3:6] = np.asarray(cd.capsule[1], dtype=np.float64)
+        elif cd.box is not None:
+            c_aux[c, :3] = np.asarray(cd.box, dtype=np.float64)
+        elif cd.string_length is not None:
+            c_aux[c, 0] = float(cd.string_length)
 
     a = lambda x: jnp.asarray(x, dtype)
     params = Params(
@@ -414,6 +552,7 @@ def build(
         contact_offset=a(c_off),
         contact_child_origin=a(c_corig),
         contact_child_radius=a(c_crad),
+        contact_aux=a(c_aux),
         gravity=a(np.asarray(gravity, dtype=np.float64)),
         timestep=a(timestep),
     )

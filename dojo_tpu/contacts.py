@@ -126,35 +126,88 @@ def cone_product(u, v):
 
 
 def sphere_sphere_geometry(cp, xp, qp, xc, qc):
-    """Distance, world contact points, normal (child→parent), tangents."""
+    """Distance, world contact points, normal (child→parent), tangents.
+
+    The normal is always child→parent (NO reference-style sign flip at
+    dist<0, collision.jl:44-48): the flip creates a spurious mirrored
+    solution branch (s₀<0, γ₀<0, force signs cancel) that Newton converges
+    to on impact while the cone line search stalls at the boundary.  An
+    unflipped normal keeps the residual continuous across dist=0 and makes
+    transient penetration self-restoring."""
     cop = xp + lie.rotate(cp["contact_origin"], qp)
     coc = xc + lie.rotate(cp["contact_child_origin"], qc)
-    d = cop - coc
-    dist = jnp.linalg.norm(d) - (cp["contact_radius"] + cp["contact_child_radius"])
-    # Always child→parent (NO reference-style sign flip at dist<0,
-    # collision.jl:44-48): the flip creates a spurious mirrored solution
-    # branch (s₀<0, γ₀<0, force signs cancel) that Newton converges to on
-    # impact while the cone line search stalls at the boundary.  An
-    # unflipped normal keeps the residual continuous across dist=0 and
-    # makes transient penetration self-restoring.
-    n = lie.safe_normalize(d)
-    # tangent pair (collision.jl contact_tangent_one/two) with axis fallback
-    w1 = jnp.array([1.0, 0.0, 0.0], dtype=n.dtype)
-    t1a = jnp.cross(w1, n)
-    use_alt = jnp.linalg.norm(t1a) <= 1e-6
-    w2 = jnp.array([0.0, 1.0, 0.0], dtype=n.dtype)
-    t1 = jnp.where(use_alt, jnp.cross(w2, n), t1a)
-    t2 = jnp.cross(t1, n)
-    dirn = lie.safe_normalize(d)
-    cpp = cop - cp["contact_radius"] * dirn
-    cpc = coc + cp["contact_child_radius"] * dirn
-    return dist, cpp, cpc, n, jnp.stack([t1, t2])
+    return _sphere_point_geometry(cp, cop, coc, cp["contact_child_radius"])
 
 
 def halfspace_geometry(cp, xp, qp):
     dist = halfspace_distance(cp, xp, qp)
     cpp = halfspace_contact_point(cp, xp, qp)
     return dist, cpp, cp["contact_normal"], cp["contact_tangent"]
+
+
+def _tangent_frame(n):
+    """Orthogonal tangent pair for a unit normal (collision.jl
+    contact_tangent, with axis fallback)."""
+    w1 = jnp.array([1.0, 0.0, 0.0], dtype=n.dtype)
+    t1a = jnp.cross(w1, n)
+    use_alt = jnp.linalg.norm(t1a) <= 1e-6
+    w2 = jnp.array([0.0, 1.0, 0.0], dtype=n.dtype)
+    t1 = jnp.where(use_alt, jnp.cross(w2, n), t1a)
+    t2 = jnp.cross(t1, n)
+    return jnp.stack([t1, t2])
+
+
+def _sphere_point_geometry(cp, cop, coc, child_radius):
+    """Shared sphere-vs-closest-point construction: distance, world contact
+    points, child→parent normal, tangents."""
+    d = cop - coc
+    dist = jnp.linalg.norm(d) - (cp["contact_radius"] + child_radius)
+    n = lie.safe_normalize(d)
+    cpp = cop - cp["contact_radius"] * n
+    cpc = coc + child_radius * n
+    return dist, cpp, cpc, n, _tangent_frame(n)
+
+
+def sphere_capsule_geometry(cp, xp, qp, xc, qc):
+    """Sphere (parent) vs. capsule (child): closest point on the capsule
+    segment (collisions/sphere_capsule.jl + point_to_segment.jl:1-26).
+
+    Capsule segment endpoints (child frame) in contact_aux[:3], [3:6];
+    capsule radius in contact_child_radius."""
+    cop = xp + lie.rotate(cp["contact_origin"], qp)
+    ca = xc + lie.rotate(cp["contact_aux"][:3], qc)
+    cb = xc + lie.rotate(cp["contact_aux"][3:6], qc)
+    dab = cb - ca
+    t = jnp.clip((cop - ca) @ dab / (dab @ dab + 1e-20), 0.0, 1.0)
+    coc = ca + t * dab
+    return _sphere_point_geometry(cp, cop, coc, cp["contact_child_radius"])
+
+
+def sphere_box_geometry(cp, xp, qp, xc, qc):
+    """Sphere (parent) vs. box (child): clamped closest point in the box
+    frame (collisions/sphere_box.jl + point_to_box_v2.jl contact_point_box).
+
+    Box full sizes (width, depth, height) in contact_aux[:3]."""
+    cop = xp + lie.rotate(cp["contact_origin"], qp)
+    half = 0.5 * cp["contact_aux"][:3]
+    p_box = lie.rotate_inv(cop - xc, qc)
+    coc = xc + lie.rotate(jnp.clip(p_box, -half, half), qc)
+    return _sphere_point_geometry(cp, cop, coc, cp["contact_child_radius"])
+
+
+def string_geometry(cp, xp, qp, xc, qc):
+    """Taut-string constraint (collisions/string.jl): 'distance' is the
+    remaining slack  length − ‖cop − coc‖  (≥ 0 while the string is slack),
+    and the impulse direction is ∂distance/∂xp = −(cop−coc)/‖·‖, i.e. the
+    string PULLS the attachment points together when taut.
+
+    Maximum length in contact_aux[0]."""
+    cop = xp + lie.rotate(cp["contact_origin"], qp)
+    coc = xc + lie.rotate(cp["contact_child_origin"], qc)
+    d = cop - coc
+    dist = cp["contact_aux"][0] - jnp.linalg.norm(d)
+    n = -lie.safe_normalize(d)
+    return dist, cop, coc, n, _tangent_frame(n)
 
 
 def pair_constraint_rows(cp, kind, dist, vt, s, gamma):
@@ -198,3 +251,93 @@ def pair_tangential_velocity(tangent, cpp, cpc, xp, qp, vp, wp, xc, qc, vc, wc):
     v_p = contact_point_velocity(xp, qp, vp, wp, cpp)
     v_c = contact_point_velocity(xc, qc, vc, wc, cpc)
     return tangent @ (v_p - v_c)
+
+
+# ---------------------------------------------------------------------------
+# diagnostics (reference src/contacts/utilities.jl get_sdf:10-23,
+# contact_location:25-56) — vectorized over contacts, all collision pairs
+# ---------------------------------------------------------------------------
+
+
+def _geometry_groups(topo):
+    geoms = topo.contact_geom or tuple(
+        "halfspace" if topo.contact_child[c] < 0 else "sphere"
+        for c in range(topo.nc)
+    )
+    groups = {}
+    for c, g in enumerate(geoms):
+        groups.setdefault(g, []).append(c)
+    return groups
+
+
+def signed_distances(topo, params, state):
+    """(nc,) signed distance per contact at the current configuration
+    (get_sdf; the quadruped never-penetrates oracle, test/behaviors.jl:1-19)."""
+    import jax
+    import numpy as np
+
+    from .residual import contact_params
+
+    cp_all = contact_params(params)
+    dtype = state.x.dtype
+    xa = jnp.concatenate([jnp.zeros((1, 3), dtype), state.x])
+    qa = jnp.concatenate(
+        [jnp.asarray([[1.0, 0, 0, 0]], dtype), state.q]
+    )
+    p_sel = np.asarray(topo.contact_parent, dtype=np.int32) + 1
+    c_sel = np.asarray(topo.contact_child, dtype=np.int32) + 1
+    out = jnp.zeros((topo.nc,), dtype)
+    for geom, ids in _geometry_groups(topo).items():
+        idx = np.asarray(ids)
+        cp = {k: a[idx] for k, a in cp_all.items()}
+        if geom == "halfspace":
+            d = jax.vmap(halfspace_distance)(cp, xa[p_sel[idx]], qa[p_sel[idx]])
+        else:
+            fn = {
+                "sphere": sphere_sphere_geometry,
+                "capsule": sphere_capsule_geometry,
+                "box": sphere_box_geometry,
+                "string": string_geometry,
+            }[geom]
+            d = jax.vmap(lambda cpj, xp, qp, xc, qc: fn(cpj, xp, qp, xc, qc)[0])(
+                cp, xa[p_sel[idx]], qa[p_sel[idx]], xa[c_sel[idx]], qa[c_sel[idx]]
+            )
+        out = out.at[idx].set(d)
+    return out
+
+
+def contact_locations(topo, params, state):
+    """(nc, 3) world contact point per contact (contact_location)."""
+    import jax
+    import numpy as np
+
+    from .residual import contact_params
+
+    cp_all = contact_params(params)
+    dtype = state.x.dtype
+    xa = jnp.concatenate([jnp.zeros((1, 3), dtype), state.x])
+    qa = jnp.concatenate(
+        [jnp.asarray([[1.0, 0, 0, 0]], dtype), state.q]
+    )
+    p_sel = np.asarray(topo.contact_parent, dtype=np.int32) + 1
+    c_sel = np.asarray(topo.contact_child, dtype=np.int32) + 1
+    out = jnp.zeros((topo.nc, 3), dtype)
+    for geom, ids in _geometry_groups(topo).items():
+        idx = np.asarray(ids)
+        cp = {k: a[idx] for k, a in cp_all.items()}
+        if geom == "halfspace":
+            loc = jax.vmap(halfspace_contact_point)(
+                cp, xa[p_sel[idx]], qa[p_sel[idx]]
+            )
+        else:
+            fn = {
+                "sphere": sphere_sphere_geometry,
+                "capsule": sphere_capsule_geometry,
+                "box": sphere_box_geometry,
+                "string": string_geometry,
+            }[geom]
+            loc = jax.vmap(
+                lambda cpj, xp, qp, xc, qc: fn(cpj, xp, qp, xc, qc)[1]
+            )(cp, xa[p_sel[idx]], qa[p_sel[idx]], xa[c_sel[idx]], qa[c_sel[idx]])
+        out = out.at[idx].set(loc)
+    return out

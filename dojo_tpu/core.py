@@ -71,6 +71,9 @@ class Topology:
 
     root_to_leaves: tuple  # joint indices ordered root → leaves
     loop_joints: tuple = ()  # joints closing kinematic loops (fourbar)
+    # collision pair geometry per contact:
+    # 'halfspace' | 'sphere' | 'capsule' | 'box' | 'string'
+    contact_geom: tuple = ()
 
     # ---- derived static sizes -------------------------------------------
     @property
@@ -163,6 +166,9 @@ class Params(NamedTuple):
     contact_offset: jax.Array  # (nc,3)
     contact_child_origin: jax.Array  # (nc,3) body-body collisions
     contact_child_radius: jax.Array  # (nc,)
+    # per-geometry extras: capsule endpoints [a(3); b(3)], box sizes
+    # [w,d,h,0,0,0], string max length [L,0,...]
+    contact_aux: jax.Array  # (nc,6)
 
     # world
     gravity: jax.Array  # (3,)
@@ -200,7 +206,18 @@ class SolverOptions(NamedTuple):
     btol: float = 1.0e-4
     max_iter: int = 50
     max_ls: int = 10
-    undercut: float = np.inf
+    # μ floor is btol/undercut (mehrotra.jl:44).  Reference default is Inf
+    # (no floor); a finite floor keeps cone pairs strictly interior so the
+    # fraction-to-boundary step never collapses to zero — load-bearing for
+    # float32, invisible at float64 test tolerances (floor = btol/100).
+    undercut: float = 100.0
+    # force the graph LDU for float32 simulations by running its
+    # factorization in (emulated) float64.  Off by default: in float32 the
+    # solver auto-selects the dense pivoted LU instead — the block
+    # elimination has no inter-block pivoting (reference
+    # GraphBasedSystems.jl semantics, which relies on Float64) and
+    # interior-point Schur chains destroy float32.
+    ldu_f64: bool = False
     no_progress_max: int = 3
     no_progress_undercut: float = 10.0
 

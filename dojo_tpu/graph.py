@@ -11,11 +11,24 @@ each elimination level is a batched gather → einsum → scatter-add, so a
 factorization is ~2·depth fused TPU ops regardless of batch size (vs. an
 unblocked dense LU whose latency scales with the full KKT dimension).
 
-System nodes mirror the reference System (src/mechanism/system.jl:15-51):
-bodies (6 velocity rows), joints (impulse rows), contacts (impulse rows).
-Edges: joint–body and contact–body couplings plus direct body–body edges
-from damper coupling and body-body collisions — the same off-diagonal set
-as the reference's `off_diagonal_jacobians` (src/joints/constraints.jl:
+Node amalgamation: every contact is folded into its parent body as a
+*supernode* (body velocities + the contact's cone variables share one
+block).  This is load-bearing for float32: eliminating a foot contact into
+a light body via a Schur complement cancels the small mass diagonal
+catastrophically (observed growth ~1e4 on the quadruped), while the pivoted
+in-block inverse of the amalgamated node is backward stable.  The reference
+keeps contacts as separate graph nodes and relies on Float64
+(GraphBasedSystems elimination has no inter-block pivoting either).
+Folding joints into their child bodies as well (merge_joints=True) was
+measured WORSE in float32 — the per-node saddle inverses inject large
+compliance-scale entries into every cross-node Schur update — so joints
+stay separate nodes, eliminated after their child body exactly like the
+reference's leaves-first graph order.
+
+System nodes: body supernodes (6 velocity rows + attached contact rows),
+joints (impulse rows).  Edges: joint–body couplings plus direct body–body
+edges from damper coupling and body-body collisions — the same off-diagonal
+set as the reference's `off_diagonal_jacobians` (src/joints/constraints.jl:
 208-293, src/contacts/constraints.jl:34-55).  Fill edges from symbolic
 elimination are added statically.
 
@@ -35,27 +48,29 @@ from .core import Topology
 
 @dataclasses.dataclass(frozen=True)
 class Schedule:
-    """Static elimination schedule (all numpy, hashable by identity)."""
+    """Static elimination schedule (all numpy; identity-hashed)."""
 
     n_nodes: int
     n_slots: int  # diag slots (= n_nodes) + directed edge slots
     width: int  # common padded block width W
     node_width: np.ndarray  # (N,) real width per node
-    node_offset: np.ndarray  # (N,) offset of node vars in w
+    node_vars: tuple  # per node: np.ndarray of w-indices (its variables)
+    contact_offset: np.ndarray  # (nc,) offset of contact block inside its node
+    joint_node: np.ndarray  # (nj,) node id holding each joint's variables
+    joint_offset: np.ndarray  # (nj,) offset of joint block inside that node
     # gather maps for extracting blocks from the dense Jacobian
     rows: np.ndarray  # (S, W) row index into padded J (dim row = pad)
     cols: np.ndarray  # (S, W)
     pad_eye: np.ndarray  # (S, W, W) identity on pad dims of diag slots
-    # per level: elimination ops
+    real_diag: np.ndarray  # (S, W, W) identity on real dims of diag slots
+    slot: dict  # (a, b) directed node pair -> block slot
     levels: tuple  # tuple of LevelOps
     order: tuple  # node elimination order (for reference/debug)
     # w-vector gather/scatter for rhs
     vec_idx: np.ndarray  # (N, W) index into padded rhs vector
     vec_valid: np.ndarray  # (N, W) 1.0 where real
-    slot: dict = None  # (a, b) directed node pair -> block slot
-    real_diag: np.ndarray = None  # (S, W, W) identity on real diag dims
 
-    def __hash__(self):  # id-hash: schedules are built once per topology
+    def __hash__(self):
         return id(self)
 
     def __eq__(self, other):
@@ -81,21 +96,6 @@ class LevelOps:
     bwd_a: np.ndarray  # (g,) node a
 
 
-def _system_nodes(topo: Topology):
-    """Node table: bodies, joints, contacts with widths and w-offsets."""
-    widths, offsets = [], []
-    for b in range(topo.nb):
-        widths.append(6)
-        offsets.append(6 * b)
-    for j in range(topo.nj):
-        widths.append(topo.jw)
-        offsets.append(topo.joint_off + j * topo.jw)
-    for c in range(topo.nc):
-        widths.append(topo.cw)
-        offsets.append(topo.contact_off + c * topo.cw)
-    return np.asarray(widths), np.asarray(offsets)
-
-
 def build_schedule(topo: Topology):
     """Compute the static elimination schedule, or None → dense fallback.
 
@@ -104,66 +104,75 @@ def build_schedule(topo: Topology):
     reached — reference get_loop_joints, traversal.jl:33-77).
     """
     nb, nj, nc = topo.nb, topo.nj, topo.nc
-    N = nb + nj + nc
+    N = nb + nj
     if N == 0 or nb == 0:
         return None
+    # each body must be the child of exactly one joint (tree); else fallback
+    parent_joint = [None] * nb
+    for j in range(nj):
+        c = topo.joint_child[j]
+        if parent_joint[c] is not None:
+            return None  # kinematic loop (fourbar) → dense fallback
+        parent_joint[c] = j
+    if any(pj is None for pj in parent_joint):
+        return None  # body without a parent joint → dense fallback
     jnode = lambda j: nb + j
-    cnode = lambda c: nb + nj + c
 
-    # ---- structural edges -------------------------------------------------
+    # ---- node variable index lists (contacts folded into parent bodies) ---
+    node_vars = [[6 * b + k for k in range(6)] for b in range(nb)]
+    contact_offset = np.zeros(nc, dtype=np.int32)
+    for c in range(nc):
+        p = topo.contact_parent[c]
+        contact_offset[c] = len(node_vars[p])
+        o = topo.contact_off + c * topo.cw
+        node_vars[p].extend(range(o, o + topo.cw))
+    joint_node = np.zeros(nj, dtype=np.int32)
+    joint_offset = np.zeros(nj, dtype=np.int32)
+    for j in range(nj):
+        joint_node[j] = jnode(j)
+        o = topo.joint_off + j * topo.jw
+        node_vars.append(list(range(o, o + topo.jw)))
+    node_vars = tuple(np.asarray(v, dtype=np.int32) for v in node_vars)
+    widths = np.asarray([len(v) for v in node_vars])
+
+    # ---- structural edges --------------------------------------------------
     edges = set()
 
     def add_edge(a, b):
         if a != b:
             edges.add((min(a, b), max(a, b)))
 
-    for j in range(topo.nj):
+    for j in range(nj):
         p, c = topo.joint_parent[j], topo.joint_child[j]
         if p >= 0:
             add_edge(jnode(j), p)
             add_edge(p, c)  # damper body-body coupling (constraints.jl:208)
         add_edge(jnode(j), c)
-    for c in range(topo.nc):
-        p, ch = topo.contact_parent[c], topo.contact_child[c]
-        add_edge(cnode(c), p)
-        if ch >= 0:
-            add_edge(cnode(c), ch)
-            add_edge(p, ch)  # pair-collision body-body coupling
+    for c in range(nc):
+        ch = topo.contact_child[c]
+        if ch >= 0:  # body-body collision couples the two bodies
+            add_edge(topo.contact_parent[c], ch)
 
-    # ---- root-to-leaves DFS over system nodes (traversal.jl:11-31) -------
-    visited_b = [False] * nb
-    visited_j = [False] * nj
+    # ---- root-to-leaves DFS over system nodes (traversal.jl:11-31) --------
+    # (joint eliminated after its child body so its λ-rows pick up the
+    # G M⁻¹ Gᵀ Schur fill that makes its diagonal invertible)
+    visited = [False] * nb
     preorder = []
-    loopy = False
 
     def visit_body(b):
+        visited[b] = True
+        preorder.append(jnode(parent_joint[b]))
         preorder.append(b)
-        visited_b[b] = True
-        for c in range(nc):
-            if topo.contact_parent[c] == b and topo.contact_child[c] < 0:
-                preorder.append(cnode(c))
         for j in range(nj):
-            if not visited_j[j] and topo.joint_parent[j] == b:
-                visit_joint(j)
-
-    def visit_joint(j):
-        nonlocal loopy
-        visited_j[j] = True
-        preorder.append(jnode(j))
-        c = topo.joint_child[j]
-        if visited_b[c]:
-            loopy = True
-            return
-        visit_body(c)
+            if topo.joint_parent[j] == b and not visited[topo.joint_child[j]]:
+                visit_body(topo.joint_child[j])
 
     for j in range(nj):
-        if topo.joint_parent[j] == -1 and not visited_j[j]:
-            visit_joint(j)
-    if loopy or not all(visited_b) or not all(visited_j):
-        return None  # loops / disconnected bodies → dense fallback
-    # pair contacts (child >= 0) eliminated first of all
-    pair_contacts = [cnode(c) for c in range(nc) if topo.contact_child[c] >= 0]
-    order = pair_contacts + list(reversed(preorder))
+        if topo.joint_parent[j] == -1 and not visited[topo.joint_child[j]]:
+            visit_body(topo.joint_child[j])
+    if not all(visited):
+        return None  # disconnected bodies → dense fallback
+    order = list(reversed(preorder))
 
     # ---- symbolic elimination: fill + levels + update lists ---------------
     pos = {n: k for k, n in enumerate(order)}
@@ -172,8 +181,8 @@ def build_schedule(topo: Topology):
         neigh[a].add(b)
         neigh[b].add(a)
     level = {}
-    elim_updates = {}  # node -> list of (a, b) remaining-neighbor pairs
-    remaining_at = {}  # node -> sorted remaining neighbors at elimination
+    elim_updates = {}
+    remaining_at = {}
     for i in order:
         rem = sorted(n for n in neigh[i] if pos[n] > pos[i])
         done = [n for n in neigh[i] if pos[n] < pos[i]]
@@ -189,7 +198,6 @@ def build_schedule(topo: Topology):
                     neigh[b].add(a)
         elim_updates[i] = pairs
 
-    widths, offsets = _system_nodes(topo)
     W = int(widths.max())
     dim = topo.dim
 
@@ -209,8 +217,8 @@ def build_schedule(topo: Topology):
     pad_eye = np.zeros((S, W, W), dtype=np.float64)
     for (a, b), si in slot.items():
         wa, wb = widths[a], widths[b]
-        rows[si, :wa] = offsets[a] + np.arange(wa)
-        cols[si, :wb] = offsets[b] + np.arange(wb)
+        rows[si, :wa] = node_vars[a]
+        cols[si, :wb] = node_vars[b]
         if a == b:
             for k in range(wa, W):
                 pad_eye[si, k, k] = 1.0
@@ -251,7 +259,7 @@ def build_schedule(topo: Topology):
     vec_idx = np.full((N, W), dim, dtype=np.int32)
     vec_valid = np.zeros((N, W), dtype=np.float64)
     for n in range(N):
-        vec_idx[n, : widths[n]] = offsets[n] + np.arange(widths[n])
+        vec_idx[n, : widths[n]] = node_vars[n]
         vec_valid[n, : widths[n]] = 1.0
 
     real_diag = np.zeros((S, W, W), dtype=np.float64)
@@ -260,16 +268,19 @@ def build_schedule(topo: Topology):
             real_diag[n, k, k] = 1.0
 
     return Schedule(
-        slot=slot,
-        real_diag=real_diag,
         n_nodes=N,
         n_slots=S,
         width=W,
         node_width=widths,
-        node_offset=offsets,
+        node_vars=node_vars,
+        contact_offset=contact_offset,
+        joint_node=joint_node,
+        joint_offset=joint_offset,
         rows=rows,
         cols=cols,
         pad_eye=pad_eye,
+        real_diag=real_diag,
+        slot=slot,
         levels=tuple(levels),
         order=tuple(order),
         vec_idx=vec_idx,

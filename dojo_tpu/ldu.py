@@ -31,8 +31,12 @@ def gj_inverse(D, n):
     """
     W = D.shape[-1]
     dtype = D.dtype
+    # row equilibration → scaled partial pivoting (supernode blocks mix
+    # dynamics rows, cone rows, and constraint rows of very different units)
+    rmax = jnp.max(jnp.abs(D), axis=-1, keepdims=True)
+    rscale = jnp.where(rmax > 0, 1.0 / rmax, 1.0)
     eye = jnp.broadcast_to(jnp.eye(W, dtype=dtype), D.shape)
-    M = jnp.concatenate([D, eye], axis=-1)  # (..., W, 2W)
+    M = jnp.concatenate([D * rscale, eye * rscale], axis=-1)  # (..., W, 2W)
     idx = jnp.arange(W)
     for k in range(n):
         col = M[..., :, k]
@@ -48,7 +52,11 @@ def gj_inverse(D, n):
             + onehot_p[..., None] * (Mk - Mp)[..., None, :]
         )
         a = M[..., k, k]
-        a = jnp.where(jnp.abs(a) > 1e-30, a, 1e-30)
+        # pivot floor: keeps 1/a and downstream Schur products inside the
+        # float32 range (a singular block becomes an implicit perturbation
+        # that the solver-level iterative refinement corrects)
+        tiny = 1e-12 if dtype == jnp.float32 else 1e-30
+        a = jnp.where(jnp.abs(a) > tiny, a, jnp.where(a < 0, -tiny, tiny))
         rowk = M[..., k, :] / a[..., None]
         col2 = M[..., :, k]
         M = M - col2[..., None] * rowk[..., None, :]
@@ -63,6 +71,13 @@ def make_ldu(sched: Schedule):
     rows = jnp.asarray(sched.rows)  # (S,W)
     cols = jnp.asarray(sched.cols)
     vec_idx = jnp.asarray(sched.vec_idx)  # (N,W)
+    # slot → (row-node, col-node) maps for the block matvec
+    slot_a = np.zeros(S, dtype=np.int32)
+    slot_b = np.zeros(S, dtype=np.int32)
+    for (a, b), s in sched.slot.items():
+        slot_a[s], slot_b[s] = a, b
+    slot_a_j = jnp.asarray(slot_a)
+    slot_b_j = jnp.asarray(slot_b)
 
     def extract(J):
         """Gather node/edge blocks out of a dense (dim,dim) Jacobian.
@@ -75,18 +90,30 @@ def make_ldu(sched: Schedule):
         blocks = Jp[rows[:, :, None], cols[:, None, :]]  # (S,W,W)
         return blocks + jnp.asarray(sched.pad_eye, dtype)
 
-    def factorize(blocks):
+    def factorize(blocks, inv_dtype=None):
         """Leaves-to-root elimination (ldu_factorization!).
 
         Returns (blocks', Dinv) where blocks' holds the factored off-diagonal
         blocks and Dinv the per-node inverted (Schur-updated) diagonals.
+
+        inv_dtype: run the per-node pivoted inverses in this dtype (float32
+        on TPU, where emulated-float64 elementwise chains are ~25× slower —
+        a pivoted inverse is backward stable, so only the Schur accumulation
+        chain needs the float64 headroom).
         """
         dtype = blocks.dtype
         Dinv = jnp.zeros((N, W, W), dtype)
         for lv in sched.levels:
             nodes = jnp.asarray(lv.nodes)
             D = blocks[nodes]  # (k,W,W) diag slots are 0..N-1
-            Dinv = Dinv.at[nodes].set(gj_inverse(D, lv.real_w))
+            if inv_dtype is not None and inv_dtype != dtype:
+                Di = gj_inverse(D.astype(inv_dtype), lv.real_w).astype(dtype)
+                # one Newton refinement step in the accumulation dtype:
+                # X ← X(2I − DX) recovers near-f64 inverse accuracy
+                Di = Di @ (2.0 * jnp.eye(W, dtype=dtype) - D @ Di)
+            else:
+                Di = gj_inverse(D, lv.real_w)
+            Dinv = Dinv.at[nodes].set(Di)
             if lv.upd_tgt.size:
                 A = blocks[jnp.asarray(lv.upd_ai)]  # (m,W,W)
                 Iv = Dinv[jnp.asarray(lv.upd_inv)]
@@ -131,4 +158,19 @@ def make_ldu(sched: Schedule):
         )
         return out[:-1]
 
-    return extract, factorize, solve
+    def matvec(blocks, v):
+        """y = A v using the unfactored block array (for iterative
+        refinement — recovers float32 accuracy lost to the block-level
+        no-pivoting elimination)."""
+        dtype = v.dtype
+        vp = jnp.concatenate([v, jnp.zeros((1,), dtype)])
+        xv = vp[vec_idx]  # (N,W)
+        contrib = jnp.einsum("sij,sj->si", blocks, xv[slot_b_j])  # (S,W)
+        y = jnp.zeros((N, W), dtype).at[slot_a_j].add(contrib)
+        out = jnp.zeros((v.shape[0] + 1,), dtype)
+        out = out.at[vec_idx.reshape(-1)].add(
+            (y * jnp.asarray(sched.vec_valid, dtype)).reshape(-1)
+        )
+        return out[:-1]
+
+    return extract, factorize, solve, matvec

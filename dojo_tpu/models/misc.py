@@ -163,6 +163,7 @@ def initialize_uuv(mech, body_position=(0, 0, 1.0), body_orientation_rv=(0, 0, 0
 def get_panda(
     timestep=0.01, gravity=-9.81, urdf="panda_end_effector", springs=0.0,
     dampers=5.0, parse_springs=True, parse_dampers=False, limits=True,
+    keep_fixed_joints=False,
 ):
     bodies, joints = parse_urdf_defs(
         os.path.join(ASSETS, f"{urdf}.urdf"), floating=False,
@@ -183,6 +184,8 @@ def get_panda(
         dampers=None if parse_dampers else dampers,
         joint_limits=jl,
     )
+    if not keep_fixed_joints:
+        bodies, joints, _ = bd.reduce_fixed_joints(bodies, joints, [])
     return bd.build(bodies, joints, [], timestep=timestep, gravity=(0, 0, gravity))
 
 
@@ -207,6 +210,7 @@ def initialize_panda(mech, joint_angles=(0, 0.5, 0, -0.5, 0, 0.5, 0)):
 @register("youbot")
 def get_youbot(
     timestep=0.01, gravity=-9.81, urdf="youbot", parse_dampers=True, limits=True,
+    keep_fixed_joints=False,
 ):
     bodies, joints = parse_urdf_defs(
         os.path.join(ASSETS, f"{urdf}.urdf"), floating=False,
@@ -220,6 +224,8 @@ def get_youbot(
             "arm_joint_5": (-2.92, 2.92),
         }
     apply_zoo_options(joints, joint_limits=jl)
+    if not keep_fixed_joints:
+        bodies, joints, _ = bd.reduce_fixed_joints(bodies, joints, [])
     return bd.build(bodies, joints, [], timestep=timestep, gravity=(0, 0, gravity))
 
 
@@ -241,6 +247,7 @@ def initialize_youbot(mech, body_position=(0.0, 0.0), body_orientation=0.0,
 @register("exoskeleton")
 def get_exoskeleton(
     timestep=0.01, gravity=-9.81, urdf="model", parse_dampers=True, limits=True,
+    keep_fixed_joints=False,
 ):
     bodies, joints = parse_urdf_defs(
         os.path.join(ASSETS, f"{urdf}.urdf"), floating=False,
@@ -253,6 +260,8 @@ def get_exoskeleton(
             "sIE": (-80 * D2R, 25 * D2R), "eFE": (-125 * D2R, 0.0),
         }
     apply_zoo_options(joints, joint_limits=jl)
+    if not keep_fixed_joints:
+        bodies, joints, _ = bd.reduce_fixed_joints(bodies, joints, [])
     return bd.build(bodies, joints, [], timestep=timestep, gravity=(0, 0, gravity))
 
 

@@ -40,7 +40,7 @@ _JOINT_FIELDS = [
 _CONTACT_FIELDS = [
     "contact_friction", "contact_normal", "contact_tangent",
     "contact_origin", "contact_radius", "contact_offset",
-    "contact_child_origin", "contact_child_radius",
+    "contact_child_origin", "contact_child_radius", "contact_aux",
 ]
 
 
@@ -176,21 +176,31 @@ def body_rows(mass_i, inertia_i, x1, q1, x2, q2, jf2, jt2, fext, text,
     return jnp.concatenate([d1x + d2x - jf2, dyn_r - jt2])
 
 
-def contact_terms(cpj, kind, is_pair, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv,
+_PAIR_GEOMETRY = {
+    "sphere": "sphere_sphere_geometry",
+    "capsule": "sphere_capsule_geometry",
+    "box": "sphere_box_geometry",
+    "string": "string_geometry",
+}
+
+
+def contact_terms(cpj, kind, geom, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv,
                   h, mu, nh):
     """One contact's body wrenches + residual rows, as a function of its
     impulses and the adjacent bodies' candidate velocities (contact rows
-    evaluated at next config, contacts/constraints.jl:72-76)."""
+    evaluated at next config, contacts/constraints.jl:72-76).
+
+    geom selects the collision pair: 'halfspace' (world) or one of the
+    body-body pairs (reference src/contacts/collisions/)."""
     dtype = wcj.dtype
     xp3 = lie.next_position(xp2, vp, h)
     qp3 = lie.next_orientation(qp2, wp, h)
     xc3 = lie.next_position(xc2, vc, h)
     qc3 = lie.next_orientation(qc2, wcv, h)
     s, gam = wcj[:nh], wcj[nh:]
-    if is_pair:
-        dist, cpp, cpc, normal, tangent = ct.sphere_sphere_geometry(
-            cpj, xp3, qp3, xc3, qc3
-        )
+    if geom != "halfspace":
+        geometry = getattr(ct, _PAIR_GEOMETRY[geom])
+        dist, cpp, cpc, normal, tangent = geometry(cpj, xp3, qp3, xc3, qc3)
     else:
         dist, cpp, normal, tangent = ct.halfspace_geometry(cpj, xp3, qp3)
         cpc = cpp
@@ -288,20 +298,21 @@ def make_residual(topo: Topology):
             wc_all = w[topo.contact_off :].reshape(nc, CW)
             nh = CW // 2
 
-            world_ids = [c for c in range(nc) if topo.contact_child[c] < 0]
-            pair_ids = [c for c in range(nc) if topo.contact_child[c] >= 0]
             cchild = jnp.asarray(
                 np.asarray(topo.contact_child, dtype=np.int32) + 1
             )
-            for ids, is_pair in ((world_ids, False), (pair_ids, True)):
-                if not ids:
-                    continue
+            geoms = topo.contact_geom or tuple(
+                "halfspace" if topo.contact_child[c] < 0 else "sphere"
+                for c in range(nc)
+            )
+            for geom in sorted(set(geoms)):
+                ids = [c for c in range(nc) if geoms[c] == geom]
                 idx = np.asarray(ids)
                 cp = {k: a[idx] for k, a in cp_all.items()}
                 p_sel, c_sel = cparent[idx], cchild[idx]
                 wr_p, wr_c, rows = jax.vmap(
                     lambda cpj, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv: contact_terms(
-                        cpj, uniform_kind, is_pair, wcj,
+                        cpj, uniform_kind, geom, wcj,
                         xp2, qp2, vp, wp, xc2, qc2, vc, wcv, h, mu, nh,
                     )
                 )(
@@ -310,7 +321,7 @@ def make_residual(topo: Topology):
                     x2a[c_sel], q2a[c_sel], v25a[c_sel], w25a[c_sel],
                 )
                 imp_acc = imp_acc.at[p_sel].add(wr_p)
-                if is_pair:
+                if geom != "halfspace":
                     imp_acc = imp_acc.at[c_sel].add(wr_c)
                 r_contact = r_contact.at[idx].set(rows)
 

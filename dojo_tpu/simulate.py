@@ -27,7 +27,8 @@ class StepInfo(NamedTuple):
     w: jax.Array  # full solver solution (velocities + impulses)
 
 
-def make_step(topo: Topology, opts: SolverOptions = SolverOptions()):
+def make_step(topo: Topology, opts: SolverOptions = SolverOptions(),
+              linsolve: str = "auto"):
     """Returns step(params, state, u_padded, fext, text) → (state', StepInfo).
 
     Semantics of one reference simulate! loop iteration
@@ -35,7 +36,7 @@ def make_step(topo: Topology, opts: SolverOptions = SolverOptions()):
     u_padded: (nj, 6) per-joint [force(3), torque(3)] in free-coordinate
     slots (see residual.pad_inputs); None for passive.
     """
-    init_w, solve, _ = make_solver(topo)
+    init_w, solve, _ = make_solver(topo, linsolve=linsolve)
 
     def step(params: Params, state: BodyState, u=None, fext=None, text=None):
         ctx = make_context(topo, state, params, u, fext, text)

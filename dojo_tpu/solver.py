@@ -113,7 +113,7 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
         from .blocks import make_assembler
         from .ldu import make_ldu
 
-        ldu_extract, ldu_factorize, ldu_solve = make_ldu(sched)
+        ldu_extract, ldu_factorize, ldu_solve, ldu_matvec = make_ldu(sched)
         ldu_assemble = make_assembler(topo, sched)
     D = topo.dim
     nb, nj, nc, ML = topo.nb, topo.nj, topo.nc, topo.maxlim
@@ -144,7 +144,7 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
     w_slots = np.arange(nb)[:, None] * 6 + np.arange(3, 6)[None, :]
 
     def rvio_weights(params: Params):
-        wgt = rv_static
+        wgt = rv_static.astype(params.mass.dtype)
         if nj:
             lam_act = jnp.stack(
                 [params.tra_lam_mask, params.rot_lam_mask], axis=1
@@ -236,18 +236,27 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
             scale, accepted, _, _, _ = carry
             return (~accepted) & (scale < opts.max_ls)
 
+        def accept(rv, bv):
+            # NaN-safe: a candidate with NaN violations must read as "worse"
+            # (plain `rv > rvio` is False for NaN and would accept it)
+            return (rv <= rvio) | (bv <= bvio)
+
         def body(carry):
             scale, _, _, _, _ = carry
             wc = make_cand(scale)
             rv, bv = violations(wc, ctx, params, rvw, oact)
-            worse = (rv > rvio) & (bv > bvio)
-            return (scale + 1, ~worse, wc, rv, bv)
+            return (scale + 1, accept(rv, bv), wc, rv, bv)
 
         w0 = make_cand(0.0)
         rv0, bv0 = violations(w0, ctx, params, rvw, oact)
-        worse0 = (rv0 > rvio) & (bv0 > bvio)
-        out = jax.lax.while_loop(cond, body, (1.0, ~worse0, w0, rv0, bv0))
-        return out[2], out[3], out[4]
+        out = jax.lax.while_loop(cond, body, (1.0, accept(rv0, bv0), w0, rv0, bv0))
+        scale, ok, wc, rv, bv = out
+        # non-finite final candidate (diverged solve): keep the incumbent
+        keep = jnp.isfinite(rv) & jnp.isfinite(bv)
+        wc = jnp.where(keep, wc, w_acc)
+        rv = jnp.where(keep, rv, rvio)
+        bv = jnp.where(keep, bv, bvio)
+        return wc, rv, bv
 
     def init_w(state_v, state_w, params: Params):
         """Warm-started initial point (set_velocity_solution!, reset!,
@@ -278,6 +287,39 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
         return jnp.concatenate(parts)
 
     def solve(w0, ctx: StepContext, params: Params, opts: SolverOptions):
+        # TPU float32 matmuls default to bfloat16 MXU passes — fatal for the
+        # Newton pipeline (Jacobian assembly + KKT solve).  Force true-f32.
+        with jax.default_matmul_precision("highest"):
+            return _solve(w0, ctx, params, opts)
+
+    def _solve(w0, ctx: StepContext, params: Params, opts: SolverOptions):
+        body, violations_at = make_iteration(ctx, params, opts)
+        rvw = rvio_weights(params)
+        oact = ort_activity(params)
+        rvio0, bvio0 = violations(w0, ctx, params, rvw, oact)
+
+        def cond(st):
+            (w, rvio, bvio, mu_asm, ucut, noprog, it, done) = st
+            return (~done) & (it < opts.max_iter)
+
+        init = (
+            w0,
+            rvio0,
+            bvio0,
+            jnp.asarray(0.0, w0.dtype),
+            jnp.asarray(opts.undercut, w0.dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            (rvio0 < opts.rtol) & (bvio0 < opts.btol),
+        )
+        w, rvio, bvio, mu_f, _, _, it, done = jax.lax.while_loop(cond, body, init)
+        return SolveResult(
+            w=w, success=done, iterations=it, rvio=rvio, bvio=bvio, mu=mu_f
+        )
+
+    def make_iteration(ctx: StepContext, params: Params, opts: SolverOptions):
+        """One Mehrotra iteration as a state-tuple map (shared by the
+        while_loop in solve() and by debug/tracing harnesses)."""
         rvw = rvio_weights(params)
         oact = ort_activity(params)
         h = params.timestep
@@ -285,20 +327,37 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
         jac = jax.jacfwd(res_fn)
         eye = jnp.eye(D)
 
-        rvio0, bvio0 = violations(w0, ctx, params, rvw, oact)
-
-        def cond(st):
-            (w, rvio, bvio, mu_asm, ucut, noprog, it, done) = st
-            return (~done) & (it < opts.max_iter)
-
         def body(st):
             (w, rvio, bvio, mu_asm, ucut, noprog, it, _) = st
             r = res_fn(w, ctx, params, mu_asm)
-            if sched is not None:
-                fact = ldu_factorize(ldu_assemble(w, ctx, params, mu_asm))
-                lin_solve = lambda rhs: ldu_solve(fact, rhs)
+            # trace-time path selection: the graph LDU has no inter-block
+            # pivoting (reference GraphBasedSystems.jl semantics, Float64);
+            # in float64 it is exact and O(tree-depth) fast.  In float32 the
+            # interior-point Schur chain needs pivoted headroom, so 'auto'
+            # falls back to the dense pivoted LU unless ldu_f64 requests the
+            # emulated-f64 block factorization.
+            use_ldu = sched is not None and (
+                w.dtype == jnp.float64 or opts.ldu_f64
+            )
+            if use_ldu:
+                blocks0 = ldu_assemble(w, ctx, params, mu_asm)
+                # The block elimination has no inter-block pivoting (same as
+                # the reference graph LDU, GraphBasedSystems.jl, which runs
+                # in Float64): interior-point Schur complements (γ/s-stiff
+                # contact terms absorbed into light bodies) destroy float32.
+                # Factorize/solve in float64 — the blocks are tiny, and on
+                # TPU the emulated-f64 cost is paid only on ~kB-scale arrays
+                # — then cast the direction back.  Data rounded to f32 keeps
+                # f32 backward error, exactly like a pivoted dense f32 LU.
+                wdtype = w.dtype
+                f64 = wdtype == jnp.float32  # only via opts.ldu_f64
+                fdtype = jnp.float64 if f64 else wdtype
+                fact = ldu_factorize(blocks0.astype(fdtype))
+
+                def lin_solve(rhs):
+                    return ldu_solve(fact, rhs.astype(fdtype)).astype(wdtype)
             else:
-                J = jac(w, ctx, params, mu_asm) + REG * eye
+                J = jac(w, ctx, params, mu_asm) + REG * eye.astype(w.dtype)
                 lu, piv = jax.scipy.linalg.lu_factor(J)
                 lin_solve = lambda rhs: jax.scipy.linalg.lu_solve((lu, piv), rhs)
             daff = lin_solve(-r)
@@ -325,19 +384,10 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
             done = (rv2 < opts.rtol) & (bv2 < opts.btol)
             return (w2, rv2, bv2, mu_t, ucut2, noprog2, it + 1, done)
 
-        init = (
-            w0,
-            rvio0,
-            bvio0,
-            jnp.asarray(0.0, w0.dtype),
-            jnp.asarray(opts.undercut, w0.dtype),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-            (rvio0 < opts.rtol) & (bvio0 < opts.btol),
-        )
-        w, rvio, bvio, mu_f, _, _, it, done = jax.lax.while_loop(cond, body, init)
-        return SolveResult(
-            w=w, success=done, iterations=it, rvio=rvio, bvio=bvio, mu=mu_f
-        )
+        def violations_at(w):
+            return violations(w, ctx, params, rvw, oact)
 
+        return body, violations_at
+
+    solve.make_iteration = make_iteration
     return init_w, solve, violations

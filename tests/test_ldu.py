@@ -35,7 +35,7 @@ def test_ldu_matches_dense(name):
     mu = jnp.asarray(1e-4, w0.dtype)
 
     J = jax.jacfwd(res_fn)(w0, ctx, mech.params, mu) + REG * jnp.eye(topo.dim)
-    extract, factorize, solve = make_ldu(sched)
+    extract, factorize, solve, matvec = make_ldu(sched)
     assemble = make_assembler(topo, sched)
 
     # per-node assembled blocks == blocks sliced out of the dense Jacobian

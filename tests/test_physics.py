@@ -122,3 +122,24 @@ def test_block_drop_short():
     assert tr["success"].all()
     assert abs(float(final.x[0, 2]) - 0.25) < 2e-3
     assert float(tr["x"][:, 0, 2].min()) > 0.25 - 1e-4
+
+
+def test_quadruped_never_penetrates():
+    """min SDF ≥ 0 over a passive quadruped drop (reference oracle
+    test/behaviors.jl:1-19; get_sdf from contacts/utilities.jl)."""
+    import dojo_tpu as dt
+    from dojo_tpu import models
+
+    from dojo_tpu.core import SolverOptions
+    from util import jitted_step
+
+    mech = models.get_mechanism("quadruped", timestep=0.05)
+    state = models.initialize(mech, "quadruped")
+    step = jitted_step(mech, SolverOptions(rtol=1e-8, btol=1e-6, max_iter=50))
+    min_sdf = np.inf
+    s = state
+    for _ in range(30):  # 1.5 simulated seconds
+        s, info = step(mech.params, s)
+        sdf = np.asarray(dt.signed_distances(mech.topo, mech.params, s))
+        min_sdf = min(min_sdf, float(sdf.min()))
+    assert min_sdf > -1e-4, min_sdf

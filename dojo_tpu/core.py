@@ -209,15 +209,25 @@ class SolverOptions(NamedTuple):
     # μ floor is btol/undercut (mehrotra.jl:44).  Reference default is Inf
     # (no floor); a finite floor keeps cone pairs strictly interior so the
     # fraction-to-boundary step never collapses to zero — load-bearing for
-    # float32, invisible at float64 test tolerances (floor = btol/100).
-    undercut: float = 100.0
+    # float32, invisible at float64 test tolerances (floor = btol/10).
+    # 10 (not 100): the gentler floor caps cone stiffness at ~btol⁻¹·10,
+    # which keeps the float32 graph-LDU factorization usable through
+    # persistent contact (floor btol/100 breaks it → dense-rescue cost).
+    undercut: float = 10.0
     # force the graph LDU for float32 simulations by running its
-    # factorization in (emulated) float64.  Off by default: in float32 the
-    # solver auto-selects the dense pivoted LU instead — the block
-    # elimination has no inter-block pivoting (reference
-    # GraphBasedSystems.jl semantics, which relies on Float64) and
-    # interior-point Schur chains destroy float32.
+    # factorization in (emulated) float64 instead of float32+refinement.
+    # The block elimination has no inter-block pivoting (reference
+    # GraphBasedSystems.jl semantics, which relies on Float64); with the
+    # supernode amalgamation + per-block pivoted inverses the float32
+    # factorization is a good preconditioner, and `refine` iterative-
+    # refinement sweeps (residual via the exact block matvec) recover the
+    # digits the unpivoted Schur chain loses — measured on the quadruped
+    # KKT: f32 LDU+refine matches dense pivoted f32 LU to ~4e-5 at 6.7×
+    # lower cost.  ldu_f64 stays as an escape hatch for pathological trees.
     ldu_f64: bool = False
+    # iterative-refinement sweeps per linear solve on the float32 LDU path
+    # (ignored at float64, where the block elimination is exact)
+    refine: int = 2
     no_progress_max: int = 3
     no_progress_undercut: float = 10.0
 

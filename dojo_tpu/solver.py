@@ -293,31 +293,68 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
             return _solve(w0, ctx, params, opts)
 
     def _solve(w0, ctx: StepContext, params: Params, opts: SolverOptions):
-        body, violations_at = make_iteration(ctx, params, opts)
         rvw = rvio_weights(params)
         oact = ort_activity(params)
         rvio0, bvio0 = violations(w0, ctx, params, rvw, oact)
+        done0 = (rvio0 < opts.rtol) & (bvio0 < opts.btol)
 
-        def cond(st):
-            (w, rvio, bvio, mu_asm, ucut, noprog, it, done) = st
-            return (~done) & (it < opts.max_iter)
+        def run(body, init_done, w_i, rv_i, bv_i):
+            def cond(st):
+                (w, rvio, bvio, mu_asm, ucut, noprog, it, done) = st
+                return (~done) & (it < opts.max_iter)
 
-        init = (
-            w0,
-            rvio0,
-            bvio0,
-            jnp.asarray(0.0, w0.dtype),
-            jnp.asarray(opts.undercut, w0.dtype),
-            jnp.asarray(0, jnp.int32),
-            jnp.asarray(0, jnp.int32),
-            (rvio0 < opts.rtol) & (bvio0 < opts.btol),
-        )
-        w, rvio, bvio, mu_f, _, _, it, done = jax.lax.while_loop(cond, body, init)
-        return SolveResult(
-            w=w, success=done, iterations=it, rvio=rvio, bvio=bvio, mu=mu_f
-        )
+            init = (
+                w_i,
+                rv_i,
+                bv_i,
+                jnp.asarray(0.0, w0.dtype),
+                jnp.asarray(opts.undercut, w0.dtype),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+                init_done,
+            )
+            w, rvio, bvio, mu_f, _, _, it, done = jax.lax.while_loop(
+                cond, body, init
+            )
+            return SolveResult(
+                w=w, success=done, iterations=it, rvio=rvio, bvio=bvio, mu=mu_f
+            )
 
-    def make_iteration(ctx: StepContext, params: Params, opts: SolverOptions):
+        body, violations_at = make_iteration(ctx, params, opts)
+        res = run(body, done0, w0, rvio0, bvio0)
+        # float32 LDU rescue pass: near convergence the unpivoted block
+        # elimination breaks down once μ hits its floor on impact steps
+        # (fresh contact activation → extreme γ/s stiffness absorbed into
+        # light bodies; measured refinement contraction ≥ 1e3 there, so no
+        # refinement count saves it).  Finish just the failed lanes with the
+        # dense pivoted LU, warm-started from the LDU endpoint when it made
+        # progress — under vmap the second while_loop executes zero
+        # iterations when every lane succeeded, so the common path stays at
+        # graph-LDU cost.
+        if sched is not None and w0.dtype == jnp.float32 and not opts.ldu_f64:
+            # restart from w0, not the stalled endpoint: a stalled IP
+            # iterate sits near the cone boundary with poor centrality and
+            # poisons the dense re-solve (measured: warm-started rescue
+            # fails steps the cold dense solve handles in 9 iterations).
+            body_d, _ = make_iteration(ctx, params, opts, force_dense=True)
+            res2 = run(body_d, done0 | res.success, w0, rvio0, bvio0)
+            pick = lambda a, b: jnp.where(res.success, a, b)
+            res = SolveResult(
+                w=pick(res.w, res2.w),
+                success=res.success | res2.success,
+                iterations=res.iterations + res2.iterations,
+                rvio=pick(res.rvio, res2.rvio),
+                bvio=pick(res.bvio, res2.bvio),
+                mu=pick(res.mu, res2.mu),
+            )
+        return res
+
+    def make_iteration(
+        ctx: StepContext,
+        params: Params,
+        opts: SolverOptions,
+        force_dense: bool = False,
+    ):
         """One Mehrotra iteration as a state-tuple map (shared by the
         while_loop in solve() and by debug/tracing harnesses)."""
         rvw = rvio_weights(params)
@@ -330,32 +367,30 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
         def body(st):
             (w, rvio, bvio, mu_asm, ucut, noprog, it, _) = st
             r = res_fn(w, ctx, params, mu_asm)
-            # trace-time path selection: the graph LDU has no inter-block
-            # pivoting (reference GraphBasedSystems.jl semantics, Float64);
-            # in float64 it is exact and O(tree-depth) fast.  In float32 the
-            # interior-point Schur chain needs pivoted headroom, so 'auto'
-            # falls back to the dense pivoted LU unless ldu_f64 requests the
-            # emulated-f64 block factorization.
-            use_ldu = sched is not None and (
-                w.dtype == jnp.float64 or opts.ldu_f64
-            )
+            # trace-time path selection: the graph LDU (the reference's
+            # GraphBasedSystems.jl elimination) whenever the graph is
+            # loop-free.  At float64 the block elimination is exact.  At
+            # float32 the unpivoted inter-block Schur chain loses digits, so
+            # each solve gets `opts.refine` iterative-refinement sweeps
+            # (residual via the exact block matvec) — measured to match the
+            # dense pivoted f32 LU at 6.7× lower cost on the quadruped KKT.
+            use_ldu = sched is not None and not force_dense
             if use_ldu:
                 blocks0 = ldu_assemble(w, ctx, params, mu_asm)
-                # The block elimination has no inter-block pivoting (same as
-                # the reference graph LDU, GraphBasedSystems.jl, which runs
-                # in Float64): interior-point Schur complements (γ/s-stiff
-                # contact terms absorbed into light bodies) destroy float32.
-                # Factorize/solve in float64 — the blocks are tiny, and on
-                # TPU the emulated-f64 cost is paid only on ~kB-scale arrays
-                # — then cast the direction back.  Data rounded to f32 keeps
-                # f32 backward error, exactly like a pivoted dense f32 LU.
                 wdtype = w.dtype
-                f64 = wdtype == jnp.float32  # only via opts.ldu_f64
+                f64 = wdtype == jnp.float32 and opts.ldu_f64
                 fdtype = jnp.float64 if f64 else wdtype
-                fact = ldu_factorize(blocks0.astype(fdtype))
+                fblocks = blocks0.astype(fdtype)
+                fact = ldu_factorize(fblocks)
+                n_ref = opts.refine if fdtype == jnp.float32 else 0
 
                 def lin_solve(rhs):
-                    return ldu_solve(fact, rhs.astype(fdtype)).astype(wdtype)
+                    rhs = rhs.astype(fdtype)
+                    x = ldu_solve(fact, rhs)
+                    for _ in range(n_ref):
+                        res = rhs - ldu_matvec(fblocks, x)
+                        x = x + ldu_solve(fact, res)
+                    return x.astype(wdtype)
             else:
                 J = jac(w, ctx, params, mu_asm) + REG * eye.astype(w.dtype)
                 lu, piv = jax.scipy.linalg.lu_factor(J)

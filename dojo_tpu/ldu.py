@@ -64,6 +64,88 @@ def gj_inverse(D, n):
     return M[..., W:]
 
 
+def blu_factor(D, n):
+    """Batched in-block pivoted LU with scaled partial pivoting.
+
+    D: (..., W, W), invertible leading n×n block, identity on pad dims.
+    Returns (LU, PS): LU packs unit-lower L (strict lower triangle) and U;
+    PS = P·diag(rowscale) so that PS·D = L·U.  Apply D⁻¹b as
+    U⁻¹(L⁻¹(PS·b)) — two backward-stable substitutions instead of an
+    explicit inverse.  This is the float32 fix for the interior-point
+    endgame: an explicit inverse of a condition-1e8 supernode block carries
+    O(κ·ε)=O(1) error (measured: iterative refinement diverges at rate 1e3
+    on quadruped impact steps), while LU solves keep backward error O(ε)
+    (measured: refinement contracts at ~1e-2 per sweep on the same
+    systems).
+    """
+    W = D.shape[-1]
+    dtype = D.dtype
+    rmax = jnp.max(jnp.abs(D), axis=-1, keepdims=True)
+    rscale = jnp.where(rmax > 0, 1.0 / rmax, 1.0)  # (...,W,1)
+    M = D * rscale
+    eye = jnp.broadcast_to(jnp.eye(W, dtype=dtype), D.shape)
+    PS = eye * rscale  # P starts as identity; carries the row scaling
+    idx = jnp.arange(W)
+    for k in range(n):
+        col = M[..., :, k]
+        mag = jnp.where((idx >= k) & (idx < n), jnp.abs(col), -jnp.inf)
+        p = jnp.argmax(mag, axis=-1)
+        onehot_p = (idx == p[..., None]).astype(dtype)  # (...,W)
+        ek = (idx == k).astype(dtype)
+        for Mat in range(2):
+            T = M if Mat == 0 else PS
+            Tp = jnp.einsum("...r,...rc->...c", onehot_p, T)
+            Tk = T[..., k, :]
+            T = (
+                T
+                + ek[:, None] * (Tp - Tk)[..., None, :]
+                + onehot_p[..., None] * (Tk - Tp)[..., None, :]
+            )
+            if Mat == 0:
+                M = T
+            else:
+                PS = T
+        a = M[..., k, k]
+        tiny = 1e-12 if dtype == jnp.float32 else 1e-30
+        a = jnp.where(jnp.abs(a) > tiny, a, jnp.where(a < 0, -tiny, tiny))
+        M = M.at[..., k, k].set(a)
+        low = (idx > k).astype(dtype)  # rows below the pivot
+        mult = low * M[..., :, k] / a[..., None]  # (...,W)
+        rowk = M[..., k, :]
+        upper = (idx > k).astype(dtype)  # columns right of the pivot
+        M = M - mult[..., :, None] * (rowk * upper)[..., None, :]
+        M = M.at[..., :, k].set(
+            jnp.where(idx > k, mult, M[..., :, k])
+        )
+    return M, PS
+
+
+def blu_solve(LU, PS, B):
+    """Solve D x = B via the blu_factor factors.  B: (..., W) or (..., W, C).
+
+    Column-oriented substitution (W full-width FMA steps per triangle
+    instead of W² row dots) — fewer, larger ops for XLA and Mosaic alike.
+    """
+    W = LU.shape[-1]
+    vec = B.ndim == LU.ndim - 1
+    if vec:
+        B = B[..., None]
+    y = jnp.einsum("...ij,...jc->...ic", PS, B)
+    idx = jnp.arange(W)
+    for j in range(W - 1):  # forward: unit-lower
+        colj = LU[..., :, j, None] * (idx > j).astype(LU.dtype)[:, None]
+        y = y - colj * y[..., j:j + 1, :]
+    xs = [None] * W
+    for j in range(W - 1, -1, -1):  # backward: upper
+        xj = y[..., j:j + 1, :] / LU[..., j:j + 1, j, None]
+        xs[j] = xj
+        if j > 0:
+            colj = LU[..., :, j, None] * (idx < j).astype(LU.dtype)[:, None]
+            y = y - colj * xj
+    x = jnp.concatenate(xs, axis=-2)
+    return x[..., 0] if vec else x
+
+
 def make_ldu(sched: Schedule):
     """Returns (extract, factorize, solve) closures for a schedule."""
 
@@ -90,54 +172,48 @@ def make_ldu(sched: Schedule):
         blocks = Jp[rows[:, :, None], cols[:, None, :]]  # (S,W,W)
         return blocks + jnp.asarray(sched.pad_eye, dtype)
 
-    def factorize(blocks, inv_dtype=None):
+    def factorize(blocks):
         """Leaves-to-root elimination (ldu_factorization!).
 
-        Returns (blocks', Dinv) where blocks' holds the factored off-diagonal
-        blocks and Dinv the per-node inverted (Schur-updated) diagonals.
-
-        inv_dtype: run the per-node pivoted inverses in this dtype (float32
-        on TPU, where emulated-float64 elementwise chains are ~25× slower —
-        a pivoted inverse is backward stable, so only the Schur accumulation
-        chain needs the float64 headroom).
+        Returns (blocks', LU, PS): factored off-diagonal blocks plus
+        per-node pivoted in-block LU factors (blu_factor).  Schur updates
+        go through backward-stable LU *solves*, never explicit inverses —
+        load-bearing for float32 interior-point endgames (see blu_factor).
         """
         dtype = blocks.dtype
-        Dinv = jnp.zeros((N, W, W), dtype)
+        LU = jnp.zeros((N, W, W), dtype)
+        PS = jnp.zeros((N, W, W), dtype)
         for lv in sched.levels:
             nodes = jnp.asarray(lv.nodes)
             D = blocks[nodes]  # (k,W,W) diag slots are 0..N-1
-            if inv_dtype is not None and inv_dtype != dtype:
-                Di = gj_inverse(D.astype(inv_dtype), lv.real_w).astype(dtype)
-                # one Newton refinement step in the accumulation dtype:
-                # X ← X(2I − DX) recovers near-f64 inverse accuracy
-                Di = Di @ (2.0 * jnp.eye(W, dtype=dtype) - D @ Di)
-            else:
-                Di = gj_inverse(D, lv.real_w)
-            Dinv = Dinv.at[nodes].set(Di)
+            lu_k, ps_k = blu_factor(D, lv.real_w)
+            LU = LU.at[nodes].set(lu_k)
+            PS = PS.at[nodes].set(ps_k)
             if lv.upd_tgt.size:
                 A = blocks[jnp.asarray(lv.upd_ai)]  # (m,W,W)
-                Iv = Dinv[jnp.asarray(lv.upd_inv)]
+                inv = jnp.asarray(lv.upd_inv)
                 Cb = blocks[jnp.asarray(lv.upd_ib)]
-                delta = jnp.einsum("mij,mjk,mkl->mil", A, Iv, Cb)
+                Y = blu_solve(LU[inv], PS[inv], Cb)  # D⁻¹·C via solves
+                delta = jnp.einsum("mij,mjk->mik", A, Y)
                 blocks = blocks.at[jnp.asarray(lv.upd_tgt)].add(-delta)
-        return blocks, Dinv
+        return blocks, LU, PS
 
     def solve(fact, rhs):
         """Two-pass backsubstitution (ldu_backsubstitution!) for rhs (dim,)."""
-        blocks, Dinv = fact
+        blocks, LU, PS = fact
         dtype = rhs.dtype
         rp = jnp.concatenate([rhs, jnp.zeros((1,), dtype)])
         b = rp[vec_idx]  # (N,W) pads read 0
-        # forward: leaves → root,  b_a -= E_{a,i} (Dinv_i b_i)
+        # forward: leaves → root,  b_a -= E_{a,i} (D_i⁻¹ b_i)
         for lv in sched.levels:
             if lv.fwd_a.size:
                 i = jnp.asarray(lv.fwd_i)
-                y = jnp.einsum("fij,fj->fi", Dinv[i], b[i])
+                y = blu_solve(LU[i], PS[i], b[i])
                 Eai = blocks[jnp.asarray(lv.fwd_ai)]
                 b = b.at[jnp.asarray(lv.fwd_a)].add(
                     -jnp.einsum("fij,fj->fi", Eai, y)
                 )
-        # backward: root → leaves,  x_i = Dinv_i (b_i - Σ E_{i,a} x_a)
+        # backward: root → leaves,  x_i = D_i⁻¹ (b_i - Σ E_{i,a} x_a)
         x = jnp.zeros((N, W), dtype)
         for lv in reversed(sched.levels):
             acc = b
@@ -149,7 +225,7 @@ def make_ldu(sched: Schedule):
                 acc = acc.at[jnp.asarray(lv.bwd_i)].add(-contrib)
             nodes = jnp.asarray(lv.nodes)
             x = x.at[nodes].set(
-                jnp.einsum("kij,kj->ki", Dinv[nodes], acc[nodes])
+                blu_solve(LU[nodes], PS[nodes], acc[nodes])
             )
         # scatter node vectors back into a flat w-direction
         out = jnp.zeros((rhs.shape[0] + 1,), dtype)

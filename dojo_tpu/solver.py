@@ -115,6 +115,62 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
 
         ldu_extract, ldu_factorize, ldu_solve, ldu_matvec = make_ldu(sched)
         ldu_assemble = make_assembler(topo, sched)
+        pallas_cv_cache = {}
+
+        def pallas_ldu_cv(n_ref):
+            """custom_vmap-wrapped (factorize, solve+refine) pair: per-lane
+            calls use the jnp path; a vmapped call on TPU dispatches the
+            whole batch to the Pallas kernels (pallas_ldu.py), which run
+            the static elimination schedule in VMEM in one launch per
+            phase.  Factorization is shared by the affine and corrected
+            solves of each Mehrotra iteration."""
+            if n_ref in pallas_cv_cache:
+                return pallas_cv_cache[n_ref]
+            from jax.custom_batching import custom_vmap
+
+            from . import pallas_ldu as PL
+
+            def _pallas_ok(arr, in_batched):
+                import os
+
+                if os.environ.get("DOJO_TPU_NO_PALLAS"):
+                    return False
+                return (
+                    jax.default_backend() not in ("cpu", "gpu")
+                    and all(in_batched)
+                    and arr.ndim == 4
+                )
+
+            cv_fact = custom_vmap(lambda blocks: ldu_factorize(blocks))
+
+            @cv_fact.def_vmap
+            def _fact_rule(axis_size, in_batched, blocks):
+                if not _pallas_ok(blocks, in_batched):
+                    return jax.vmap(ldu_factorize)(blocks), (True,) * 3
+                fac_b, _ = PL.make_pallas_ldu(sched, refine=n_ref)
+                return fac_b(blocks), (True,) * 3
+
+            def _solve1(blocks, fb, lu, ps, rhs):
+                x = ldu_solve((fb, lu, ps), rhs)
+                for _ in range(n_ref):
+                    x = x + ldu_solve(
+                        (fb, lu, ps), rhs - ldu_matvec(blocks, x)
+                    )
+                return x
+
+            cv_solve = custom_vmap(_solve1)
+
+            @cv_solve.def_vmap
+            def _solve_rule(axis_size, in_batched, blocks, fb, lu, ps, rhs):
+                if not _pallas_ok(blocks, in_batched):
+                    return jax.vmap(_solve1)(blocks, fb, lu, ps, rhs), True
+                _, sol_b = PL.make_pallas_ldu(sched, refine=n_ref)
+                rhs_nod = PL.flat_to_nodes(sched, rhs)
+                x_nod = sol_b(blocks, (fb, lu, ps), rhs_nod)
+                return PL.nodes_to_flat(sched, x_nod, D), True
+
+            pallas_cv_cache[n_ref] = (cv_fact, cv_solve)
+            return pallas_cv_cache[n_ref]
     D = topo.dim
     nb, nj, nc, ML = topo.nb, topo.nj, topo.nc, topo.maxlim
     SW, JW, CW = topo.sw, topo.jw, topo.cw
@@ -316,8 +372,14 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
             w, rvio, bvio, mu_f, _, _, it, done = jax.lax.while_loop(
                 cond, body, init
             )
+            # success from the violation test, not the raw loop flag — the
+            # float32 LDU phase also sets `done` to halt on a detected
+            # factorization stall, and those lanes must read as failed so
+            # the dense rescue picks them up
+            success = (rvio < opts.rtol) & (bvio < opts.btol)
             return SolveResult(
-                w=w, success=done, iterations=it, rvio=rvio, bvio=bvio, mu=mu_f
+                w=w, success=success, iterations=it, rvio=rvio, bvio=bvio,
+                mu=mu_f,
             )
 
         body, violations_at = make_iteration(ctx, params, opts)
@@ -381,15 +443,15 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
                 f64 = wdtype == jnp.float32 and opts.ldu_f64
                 fdtype = jnp.float64 if f64 else wdtype
                 fblocks = blocks0.astype(fdtype)
-                fact = ldu_factorize(fblocks)
                 n_ref = opts.refine if fdtype == jnp.float32 else 0
+                cv_fact, cv_solve = pallas_ldu_cv(n_ref)
+                fact = cv_fact(fblocks)
 
                 def lin_solve(rhs):
-                    rhs = rhs.astype(fdtype)
-                    x = ldu_solve(fact, rhs)
-                    for _ in range(n_ref):
-                        res = rhs - ldu_matvec(fblocks, x)
-                        x = x + ldu_solve(fact, res)
+                    x = cv_solve(
+                        fblocks, fact[0], fact[1], fact[2],
+                        rhs.astype(fdtype),
+                    )
                     return x.astype(wdtype)
             else:
                 J = jac(w, ctx, params, mu_asm) + REG * eye.astype(w.dtype)
@@ -417,6 +479,16 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
                 ucut,
             )
             done = (rv2 < opts.rtol) & (bv2 < opts.btol)
+            if use_ldu and w.dtype == jnp.float32 and not opts.ldu_f64:
+                # early stall exit (float32 LDU phase only): once the
+                # no-progress undercut has escalated twice the factorization
+                # has broken down (measured divergent refinement) — stop
+                # burning iterations and let the dense rescue finish the
+                # lane.  Encoded as done with failing violations: run()
+                # reports success from the violation test, and the rescue
+                # pass re-solves any lane whose violations exceed tolerance.
+                stalled = ucut2 > opts.undercut * opts.no_progress_undercut * 1.5
+                done = done | stalled
             return (w2, rv2, bv2, mu_t, ucut2, noprog2, it + 1, done)
 
         def violations_at(w):

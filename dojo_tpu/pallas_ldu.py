@@ -43,7 +43,7 @@ from .graph import Schedule
 # chunk the full array, satisfying Mosaic's minor-dim rule at any BT.
 # 64 keeps factorize's resident set (blocks + LU + PS + scratch) well
 # under the 16 MB VMEM budget for zoo-scale schedules.
-BT = 64
+BT = 128
 UPD_CHUNK = 4  # Schur updates per stacked contraction (bounds scratch)
 GJ_CHUNK = 7  # level nodes per stacked in-block factorization
 

@@ -223,9 +223,38 @@ def reduce_fixed_joints(bodies, joints, contacts=()):
                 cd.origin = to_parent(cd.origin)
             if cd.child == p.name:
                 cd.child_origin = np.asarray(cd.child_origin, np.float64) - s
+                if cd.capsule is not None:
+                    cd.capsule = (
+                        np.asarray(cd.capsule[0], np.float64) - s,
+                        np.asarray(cd.capsule[1], np.float64) - s,
+                    )
+                if cd.box is not None and np.linalg.norm(s) > 0:
+                    # the box is centered on the child body's frame origin
+                    # (contacts.sphere_box_geometry), which a COM shift moves
+                    raise ValueError(
+                        f"reduce_fixed_joints: box contact '{cd.name}' sits "
+                        f"on merged body '{p.name}' whose COM shifts; box aux "
+                        "stores sizes only (no center/frame) — keep the fixed "
+                        "joint or re-author the contact."
+                    )
             elif cd.child == c.name:
                 cd.child = p.name
                 cd.child_origin = to_parent(cd.child_origin)
+                # frame-carrying child geometry: capsule endpoints transform
+                # like points; a box stores only its sizes (its center and
+                # axes are the child body frame), so a merge cannot be
+                # represented — fail loudly rather than silently colliding
+                # against a mis-placed box.
+                if cd.capsule is not None:
+                    cd.capsule = (to_parent(cd.capsule[0]),
+                                  to_parent(cd.capsule[1]))
+                if cd.box is not None:
+                    raise ValueError(
+                        f"reduce_fixed_joints: box contact '{cd.name}' is "
+                        f"attached to merged body '{c.name}'; box aux stores "
+                        "sizes only (no center/frame) — keep the fixed joint "
+                        "or re-author the contact."
+                    )
         joints.remove(jfix)
         bodies.remove(c)
 

@@ -41,8 +41,9 @@ from .graph import Schedule
 
 # batch tile (lanes per launch): gridless chunked launches make each
 # chunk the full array, satisfying Mosaic's minor-dim rule at any BT.
-# 64 keeps factorize's resident set (blocks + LU + PS + scratch) well
-# under the 16 MB VMEM budget for zoo-scale schedules.
+# 128 keeps factorize's resident set (blocks + LU + PS + scratch) within
+# the raised 100 MB vmem_limit_bytes passed to pallas_call below for
+# zoo-scale schedules (quadruped: ~30 MB at BT=128).
 BT = 128
 UPD_CHUNK = 4  # Schur updates per stacked contraction (bounds scratch)
 GJ_CHUNK = 7  # level nodes per stacked in-block factorization
@@ -101,7 +102,10 @@ def _blu_factor_kernel(D, n, W):
             )
         M, PS = swapped
         a = M[:, k, k, :]  # (k,BT)
-        tiny = 1e-12
+        # pivot floor by dtype, matching ldu.blu_factor (f32 value 1e-12,
+        # f64 1e-30) so a batched f64 call keeps the documented "numerics
+        # identical to ldu.py" contract
+        tiny = 1e-12 if dtype == jnp.float32 else 1e-30
         a = jnp.where(jnp.abs(a) > tiny, a, jnp.where(a < 0, -tiny, tiny))
         low = (iota_r > k).astype(dtype)  # (1,W,1)
         upper = low  # same mask, used on the column axis

@@ -12,8 +12,8 @@ from dojo_tpu.core import SolverOptions
 from dojo_tpu.simulate import make_step
 
 
-def _rollout(bodies, joints, n=80):
-    m = dt.build(bodies, joints, [], timestep=0.01, gravity=(0, 0, -9.81))
+def _rollout(bodies, joints, n=80, gravity=(0, 0, -9.81)):
+    m = dt.build(bodies, joints, [], timestep=0.01, gravity=gravity)
     s = m.zero_state()
     step = jax.jit(make_step(m.topo, SolverOptions(rtol=1e-10, btol=1e-10)))
     traj = []
@@ -49,4 +49,53 @@ def test_reduce_fixed_joints_equivalence():
     err = np.abs(t1[:, ic1] - t2[:, ic2]).max()
     assert err < 1e-10, err
     # merged COM/mass bookkeeping: total mass preserved
+    assert abs(sum(b.mass for b in b2) - sum(b.mass for b in bodies)) < 1e-12
+
+
+def test_reduce_merged_child_of_loop_joint():
+    """Exercise the jd.child == c.name conjugation branch: a parallelogram
+    fourbar whose coupler is WELDED to one crank with a non-trivial
+    orientation offset; merging the coupler rewrites the loop joint whose
+    CHILD is the merged body (the branch the reference flags '# correct?',
+    methods.jl:210)."""
+    qoff = np.asarray(
+        dt.lie.axis_angle_to_quaternion(jnp.asarray([0.2, 0.0, 0.5]))
+    )
+    Roff = np.asarray(dt.lie.rotation_matrix(jnp.asarray(qoff)))
+    in_c = lambda v: Roff.T @ np.asarray(v, np.float64)
+    bodies = [
+        dt.box_body("a", 0.02, 0.02, 0.4, 1.0),
+        dt.box_body("b", 0.02, 0.02, 0.4, 0.8),
+        # cube coupler: isotropic inertia, so the rotated weld frame is
+        # dynamically consistent without rotated-inertia bookkeeping here
+        dt.box_body("c", 0.04, 0.04, 0.04, 0.3),
+    ]
+    joints = [
+        dt.JointDef(kind="revolute", parent="origin", child="a",
+                    axis=[0, 1, 0], child_vertex=[0, 0, 0.2]),
+        dt.JointDef(kind="revolute", parent="origin", child="b",
+                    axis=[0, 1, 0], parent_vertex=[0.1, 0, 0],
+                    child_vertex=[0, 0, 0.2]),
+        dt.JointDef(kind="fixed", parent="b", child="c",
+                    parent_vertex=[0, 0, -0.2],
+                    child_vertex=in_c([0.05, 0, 0]),
+                    orientation_offset=qoff),
+        dt.JointDef(kind="revolute", parent="a", child="c", axis=[0, 1, 0],
+                    parent_vertex=[0, 0, -0.2],
+                    child_vertex=in_c([-0.05, 0, 0]),
+                    orientation_offset=qoff),
+    ]
+    grav = (3.0, 0.0, -9.81)  # sideways pull so the linkage actually swings
+    m1, t1 = _rollout(bodies, joints, gravity=grav)
+    b2, j2, _ = reduce_fixed_joints(bodies, joints, [])
+    assert sorted(b.name for b in b2) == ["a", "b"]
+    m2, t2 = _rollout(b2, j2, gravity=grav)
+    for nm in ("a",):
+        i1, i2 = m1.body_names.index(nm), m2.body_names.index(nm)
+        err = np.abs(t1[:, i1] - t2[:, i2]).max()
+        assert err < 1e-8, (nm, err)
+    # the merged body's COM differs from b's by construction; check the
+    # crank-b ANGLE instead via its tip point: tip = x ± R(q)·(0,0,-0.2)
+    # is identical only for the unmerged b, so compare body-a trajectory
+    # (above) plus total-mass bookkeeping
     assert abs(sum(b.mass for b in b2) - sum(b.mass for b in bodies)) < 1e-12

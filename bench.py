@@ -1,11 +1,21 @@
-"""Benchmark: quadruped contact-dynamics solves/s on one chip.
+"""North-star benchmark: quadruped trot contact-MPC solves/s on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Current stage (round 1): batched quadruped contact-dynamics steps/s via
-vmap — the inner kernel of the contact-MPC north star (H=40 MPC solves/s =
-steps/s / (40 × SQP iterations)).  vs_baseline compares against the
-driver target of 1000 MPC solves/s ≈ 40k contact steps/s per chip.
+The benchmark unit is one receding-horizon contact-MPC solve on the
+quadruped (H=40 knots, dt=0.05 — BASELINE.json config "Quadruped trot-gait
+MPC"): a warm-started iLQR re-solve (rollout + IFT linearization reusing
+the contact solves + Riccati backward + line-searched forward), tracking a
+procedural trot reference, vmapped over a batch of scenarios.  After each
+solve the plant advances with the returned u0 (closed loop).
+
+vs_baseline compares against the driver target of 1000 MPC solves/s/chip.
+Secondary fields: p50 per-solve latency vs the 50 ms real-time budget, raw
+contact-step throughput inside the MPC, solver success rates, and gait
+quality (forward progress per commanded distance).
+
+Env knobs: BENCH_MPC_B (batch, default 512), BENCH_MPC_K (control steps,
+default 10), BENCH_ITERS (iLQR iterations/solve, default 1).
 """
 
 import json
@@ -21,55 +31,114 @@ def main():
 
     from dojo_tpu import models
     from dojo_tpu.core import SolverOptions
-    from dojo_tpu.simulate import make_step
+    from dojo_tpu.gradients import make_rollout_linearize_minimal
+    from dojo_tpu.minimal import maximal_to_minimal
+    from dojo_tpu.mpc import ILQRConfig, TrotSpec, make_trot_mpc
 
-    mech = models.get_mechanism("quadruped", timestep=0.05)
+    B = int(os.environ.get("BENCH_MPC_B", "512"))
+    K = int(os.environ.get("BENCH_MPC_K", "10"))
+    ITERS = int(os.environ.get("BENCH_ITERS", "1"))
+    H, DT = 40, 0.05
+
+    mech = models.get_mechanism("quadruped", timestep=DT)
     f32 = lambda t: jax.tree.map(
         lambda a: a.astype(jnp.float32)
         if jnp.issubdtype(a.dtype, jnp.floating)
         else a,
         t,
     )
-    state = f32(models.initialize(mech, "quadruped"))
     mech.params = f32(mech.params)
-    opts = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30)
-    step = make_step(mech.topo, opts)
+    state0 = f32(models.initialize(mech, "quadruped"))
+    y0 = maximal_to_minimal(mech.topo, mech.params, state0)
+    ny = mech.topo.minimal_dim
 
-    B = int(os.environ.get("BENCH_B", "256"))  # scenario batch per chip
-    batt = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), state)
-    u = jnp.zeros((B, mech.topo.nj, 6), dtype=state.x.dtype)
+    spec = TrotSpec()
+    mpc_opts = SolverOptions(rtol=1e-4, btol=1e-3, max_iter=12)
+    mpc, ref_fn = make_trot_mpc(
+        mech, horizon=H, spec=spec,
+        config=ILQRConfig(iterations=ITERS, alphas=(1.0, 0.5)),
+        opts=mpc_opts, dt=DT,
+    )
+    # plant: tighter tolerances than the controller's relaxed solves
+    plant_opts = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30)
+    plant_step, _, plant_seed = make_rollout_linearize_minimal(
+        mech.topo, plant_opts
+    )
+    from dojo_tpu.mpc.trot import actuated_indices
+
+    act = jnp.asarray(actuated_indices(mech))
+    n_packed = mech.topo.input_dim
+
+    # scenario batch: small per-lane perturbations of the standing pose
+    rng = np.random.default_rng(0)
+    pert = np.zeros((B, ny), dtype=np.float32)
+    pert[:, :2] = rng.normal(scale=0.01, size=(B, 2))  # base xy
+    pert[:, 6:9] = rng.normal(scale=0.02, size=(B, 3))  # base velocity
+    ys = jnp.asarray(np.asarray(y0)[None] + pert)
+    us_warm = jnp.zeros((B, H, 12), dtype=jnp.float32)
+    w_plant = jax.vmap(lambda y: plant_seed(mech.params, y))(ys)
 
     @jax.jit
-    def batched_step(params, st, u):
-        new_state, info = jax.vmap(step, in_axes=(None, 0, 0))(params, st, u)
-        return new_state, (info.iterations, info.success)
+    def control_step(params, ys, us_warm, w_plant, t0):
+        goals = ref_fn(t0)
+        u0, us_next, c, okf = jax.vmap(
+            mpc, in_axes=(None, 0, 0, None)
+        )(params, ys, us_warm, goals)
+        u_full = jax.vmap(
+            lambda u: jnp.zeros(n_packed, u.dtype).at[act].set(u)
+        )(u0)
+        ys2, w2, _, ok = jax.vmap(
+            plant_step, in_axes=(None, 0, 0, 0)
+        )(params, ys, u_full, w_plant)
+        return ys2, us_next, w2, c, okf, ok
 
     # warmup/compile
-    st2, iters = batched_step(mech.params, batt, u)
-    jax.block_until_ready(st2)
+    t_compile = time.perf_counter()
+    out = control_step(mech.params, ys, us_warm, w_plant, jnp.float32(0.0))
+    jax.block_until_ready(out)
+    t_compile = time.perf_counter() - t_compile
 
-    # timed: K sequential batched steps (chained, like an MPC rollout)
-    K = int(os.environ.get("BENCH_K", "10"))
-    t0 = time.perf_counter()
-    st = batt
-    for _ in range(K):
-        st, iters = batched_step(mech.params, st, u)
-    jax.block_until_ready(st)
-    dt = time.perf_counter() - t0
+    lat = []
+    okfs, oks = [], []
+    t_all = time.perf_counter()
+    for k in range(K):
+        t0 = time.perf_counter()
+        ys, us_warm, w_plant, c, okf, ok = control_step(
+            mech.params, ys, us_warm, w_plant, jnp.float32(k * DT)
+        )
+        jax.block_until_ready(ys)
+        lat.append(time.perf_counter() - t0)
+        okfs.append(np.asarray(okf))
+        oks.append(np.asarray(ok))
+    t_all = time.perf_counter() - t_all
 
-    steps_per_s = B * K / dt
-    mpc_solves_per_s = steps_per_s / 40.0  # H=40 rollout ≈ 1 MPC solve unit
-    target = 40000.0  # 1000 MPC solves/s × H=40 contact steps
-    its, succ = iters
+    solves_per_s = B * K / t_all
+    p50_ms = float(np.median(lat) * 1e3)
+    # contact solves per MPC solve: rollout H + iters * (n_alpha * H fwd)
+    steps_per_solve = H * (1 + ITERS * 2) + 1  # +1 plant step
+    target = 1000.0
+
+    # gait quality: commanded forward distance vs achieved
+    adv = float(np.mean(np.asarray(ys)[:, 0]) - np.mean(np.asarray(y0)[0]))
+    cmd = spec.vx * K * DT
     print(
         json.dumps(
             {
-                "metric": f"quadruped contact-dynamics steps/s/chip (B={B}, h=0.05)",
-                "value": round(steps_per_s, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_s / target, 4),
-                "solver_success_rate": round(float(np.mean(np.asarray(succ))), 4),
-                "mean_newton_iters": round(float(np.mean(np.asarray(its))), 1),
+                "metric": (
+                    f"quadruped trot contact-MPC solves/s/chip "
+                    f"(H={H}, dt={DT}, B={B}, iLQR iters={ITERS})"
+                ),
+                "value": round(solves_per_s, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / target, 4),
+                "p50_solve_latency_ms": round(p50_ms, 1),
+                "real_time_budget_ms": 50.0,
+                "contact_steps_per_s": round(solves_per_s * steps_per_solve, 0),
+                "mpc_solver_success": round(float(np.mean(okfs)), 4),
+                "plant_solver_success": round(float(np.mean(oks)), 4),
+                "tracking_cost": round(float(np.mean(np.asarray(c))), 3),
+                "forward_progress_frac": round(adv / cmd, 3) if cmd else None,
+                "compile_s": round(t_compile, 1),
             }
         )
     )

@@ -111,14 +111,15 @@ def make_assembler(topo: Topology, sched: Schedule):
                            for c in cc_body], dtype=np.int32)
 
     kinds = topo.contact_kind
-    uniform_kind = kinds[0] if nc else None
     geoms = topo.contact_geom or tuple(
         "halfspace" if topo.contact_child[c] < 0 else "sphere"
         for c in range(nc)
     )
-    geom_ids = {
-        g: np.asarray([c for c in range(nc) if geoms[c] == g])
-        for g in sorted(set(geoms))
+    group_ids = {
+        kg: np.asarray(
+            [c for c in range(nc) if (kinds[c], geoms[c]) == kg]
+        )
+        for kg in sorted(set(zip(kinds, geoms)))
     }
 
     pad_eye = jnp.asarray(sched.pad_eye)  # (S, W, W)
@@ -208,20 +209,20 @@ def make_assembler(topo: Topology, sched: Schedule):
             wc_all = w[topo.contact_off :].reshape(nc, CW)
             nh = CW // 2
 
-            for geom, ids in geom_ids.items():
+            for (kind, geom), ids in group_ids.items():
                 if ids.size == 0:
                     continue
                 cpd = {k: a[ids] for k, a in cp_all.items()}
                 p_sel, c_sel = cparent_a[ids], cchild_a[ids]
 
                 def contact_jac(cpj, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv,
-                                geom=geom):
+                                kind=kind, geom=geom):
                     def f(u):
                         wc_ = u[:CW]
                         vpp, wpp = u[CW : CW + 3], u[CW + 3 : CW + 6]
                         vcp, wcp = u[CW + 6 : CW + 9], u[CW + 9 : CW + 12]
                         wr_p, wr_c, rows = contact_terms(
-                            cpj, uniform_kind, geom, wc_,
+                            cpj, kind, geom, wc_,
                             xp2, qp2, vpp, wpp, xc2, qc2, vcp, wcp, h, mu, nh,
                         )
                         return jnp.concatenate([rows, -wr_p, -wr_c])

@@ -231,6 +231,15 @@ class SolverOptions(NamedTuple):
     refine: int = 1
     no_progress_max: int = 3
     no_progress_undercut: float = 10.0
+    # elementwise interior floor applied to carried-over cone pairs when a
+    # step is warm-started from the previous solution (solver.init_w
+    # w_prev path); no effect on cold (reference-semantics) solves
+    warm_floor: float = 1e-2
+    # compile the float32 dense-LU rescue pass that re-solves lanes where
+    # the graph-LDU stalls (solver._solve).  Default on (simulation-grade
+    # robustness); MPC-grade solves at loose tolerances turn it off to
+    # halve compiled code — failures there are data, not errors
+    rescue: bool = True
 
 
 def cone_index_sets(topo: Topology):
@@ -261,14 +270,14 @@ def cone_index_sets(topo: Topology):
         o = topo.contact_off + c * topo.cw
         kind = topo.contact_kind[c]
         nhalf = CONTACT_WIDTH[kind] // 2
+        half = topo.cw // 2  # padded half-width: γ block starts at o + half
         if kind == "nonlinear":
             # slot 0: impact pair (ort); slots 1-3: friction SOC pair
             ort_s.append(o + 0)
-            ort_g.append(o + 4)
+            ort_g.append(o + half)
             soc_s.append([o + 1, o + 2, o + 3])
-            soc_g.append([o + 5, o + 6, o + 7])
+            soc_g.append([o + half + 1, o + half + 2, o + half + 3])
         else:
-            half = topo.cw // 2
             for i in range(nhalf):
                 ort_s.append(o + i)
                 ort_g.append(o + half + i)

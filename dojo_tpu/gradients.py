@@ -95,6 +95,98 @@ def make_diff_step_minimal(topo: Topology, opts: SolverOptions = SolverOptions()
     return step_min
 
 
+def make_rollout_linearize_minimal(
+    topo: Topology, opts: SolverOptions = SolverOptions(),
+    linsolve: str = "auto",
+):
+    """(step_w, linearize) pair for trajectory optimization that shares one
+    contact solve per knot between the rollout and the linearization.
+
+    The reference's gradient path re-solves nothing either: it reuses the
+    solver's final factorization (gradients/state.jl:69-126, "TODO: use
+    pre-factorization" done right).  make_diff_step_minimal's custom_jvp
+    re-solves the primal inside jacfwd; here the rollout returns the solver
+    solution w* and μ_f, and `linearize` computes the IFT Jacobians
+
+        A = ∂y′/∂y,  B = ∂y′/∂u   at  r(w*; θ, μ_f) = 0
+
+    with a single Jacobian assembly + LU shared across all ny+nu tangent
+    columns — no extra contact solves.
+
+      step_w(params, y, u_packed, w_prev=None) → (y2, w, mu, success)
+      linearize(params, y, u_packed, w, mu) → (A, B)
+    """
+    res_fn = make_residual(topo)
+    init_w, solve, _ = make_solver(topo, linsolve=linsolve)
+    nb = topo.nb
+    ny, nu = topo.minimal_dim, topo.input_dim
+
+    def _next_state(state, w, h):
+        bv = w[: 6 * nb].reshape(nb, 6)
+        v25, w25 = bv[:, :3], bv[:, 3:]
+        return BodyState(
+            x=lie.next_position(state.x, v25, h),
+            q=lie.next_orientation(state.q, w25, h),
+            v=v25,
+            w=w25,
+        )
+
+    def step_w(params: Params, y, u_packed, w_prev=None):
+        state = minimal_to_maximal(topo, params, y)
+        u = pad_inputs(topo, u_packed)
+        ctx = make_context(topo, state, params, u)
+        w0 = init_w(state.v, state.w, params, w_prev=w_prev,
+                    warm_floor=opts.warm_floor)
+        res = solve(w0, ctx, params, opts)
+        state2 = _next_state(state, res.w, params.timestep)
+        y2 = maximal_to_minimal(topo, params, state2)
+        return y2, res.w, res.mu, res.success
+
+    def linearize(params: Params, y, u_packed, w, mu):
+        state = minimal_to_maximal(topo, params, y)
+        u = pad_inputs(topo, u_packed)
+        ctx = make_context(topo, state, params, u)
+        with jax.default_matmul_precision("highest"):
+            J = jax.jacfwd(res_fn)(w, ctx, params, mu) + REG * jnp.eye(
+                topo.dim, dtype=w.dtype
+            )
+            lu_piv = jax.scipy.linalg.lu_factor(J)
+
+            def out_fn(y_, w_):
+                st_ = minimal_to_maximal(topo, params, y_)
+                return maximal_to_minimal(
+                    topo, params, _next_state(st_, w_, params.timestep)
+                )
+
+            def col(dy, du):
+                def r_of(y_, u_):
+                    st_ = minimal_to_maximal(topo, params, y_)
+                    ctx_ = make_context(
+                        topo, st_, params, pad_inputs(topo, u_)
+                    )
+                    return res_fn(w, ctx_, params, mu)
+
+                _, rdot = jax.jvp(r_of, (y, u_packed), (dy, du))
+                dw = -jax.scipy.linalg.lu_solve(lu_piv, rdot)
+                _, dy2 = jax.jvp(out_fn, (y, w), (dy, dw))
+                return dy2
+
+            eye_y = jnp.eye(ny, dtype=w.dtype)
+            eye_u = jnp.eye(nu, dtype=w.dtype)
+            zero_u = jnp.zeros((ny, nu), dtype=w.dtype)
+            zero_y = jnp.zeros((nu, ny), dtype=w.dtype)
+            A = jax.vmap(col)(eye_y, zero_u).T  # columns → (ny, ny)
+            B = jax.vmap(col)(zero_y, eye_u).T  # (ny, nu)
+        return A, B
+
+    def w_seed(params: Params, y):
+        """Cone-neutral solver init for the first knot of a rollout."""
+        state = minimal_to_maximal(topo, params, y)
+        return init_w(state.v, state.w, params)
+
+    return step_w, linearize, w_seed
+
+
 def minimal_jacobians(topo: Topology, opts: SolverOptions = SolverOptions()):
     """(∂y'/∂y, ∂y'/∂u) — the reference get_minimal_gradients! outputs,
     via vmapped IFT-JVPs sharing the KKT factorization."""
@@ -125,5 +217,43 @@ def maximal_jacobians(topo: Topology, opts: SolverOptions = SolverOptions()):
         fz = jax.jacfwd(f, argnums=1)(params, z, u_packed)
         fu = jax.jacfwd(f, argnums=2)(params, z, u_packed)
         return fz, fu
+
+    return jac
+
+
+def attitude_jacobian(z, nb: int):
+    """Block-diag G(z) ∈ R^{13Nb×12Nb} mapping attitude-tangent states to
+    packed maximal states (reference gradients/utilities.jl:24-34): identity
+    on x/v/ω blocks, L(q)·Vᵀ on each quaternion block."""
+    state = BodyState.unpack(z, nb)
+    G = jnp.zeros((13 * nb, 12 * nb), dtype=z.dtype)
+    for b in range(nb):
+        r, c = 13 * b, 12 * b
+        eye6 = jnp.eye(6, dtype=z.dtype)
+        G = G.at[r : r + 6, c : c + 6].set(eye6)  # x, v
+        G = G.at[r + 6 : r + 10, c + 6 : c + 9].set(
+            lie.Lmat(state.q[b])[:, 1:]
+        )
+        G = G.at[r + 10 : r + 13, c + 9 : c + 12].set(
+            jnp.eye(3, dtype=z.dtype)
+        )
+    return G
+
+
+def maximal_jacobians_attjac(topo: Topology, opts: SolverOptions = SolverOptions()):
+    """(∂z'/∂z, ∂z'/∂u) in the reference's 12Nb attitude-tangent form
+    (gradients/state.jl:102-123): Aatt = G(z')ᵀ · (∂z'/∂z) · G(z),
+    Batt = G(z')ᵀ · (∂z'/∂u).  This is the form LQR-on-maximal wants —
+    quaternion rows/columns projected onto the 3-dof tangent space."""
+    jac13 = maximal_jacobians(topo, opts)
+    step = make_diff_step(topo, opts)
+    nb = topo.nb
+
+    def jac(params, z, u_packed):
+        fz, fu = jac13(params, z, u_packed)
+        state = BodyState.unpack(z, nb)
+        z2 = step(params, state, pad_inputs(topo, u_packed)).pack()
+        Gin, Gout = attitude_jacobian(z, nb), attitude_jacobian(z2, nb)
+        return Gout.T @ fz @ Gin, Gout.T @ fu
 
     return jac

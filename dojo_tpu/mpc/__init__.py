@@ -7,3 +7,4 @@ a first-class, jit/vmap-native subsystem built on the IFT-differentiable
 step."""
 
 from .ilqr import ILQRConfig, QuadCost, make_ilqr, make_mpc_controller
+from .trot import TrotSpec, actuated_indices, make_trot_mpc, trot_reference

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import Params, SolverOptions, Topology
-from ..gradients import make_diff_step_minimal
+from ..gradients import make_rollout_linearize_minimal
 
 
 class QuadCost(NamedTuple):
@@ -39,6 +39,11 @@ class ILQRConfig(NamedTuple):
     reg_init: float = 1e-6
     reg_factor: float = 10.0
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03, 0.01)
+    # O(log H)-depth associative-scan Riccati backward pass
+    # (mpc/parallel_lqr.py) instead of the sequential lax.scan — the
+    # horizon-parallel path; shard the knot axis over an `hz` mesh axis to
+    # spread the composition tree over ICI
+    parallel_riccati: bool = False
 
 
 def _mat(d, n):
@@ -48,53 +53,93 @@ def _mat(d, n):
 
 def make_ilqr(topo: Topology, cost: QuadCost, horizon: int,
               config: ILQRConfig = ILQRConfig(),
-              opts: SolverOptions = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=20)):
+              opts: SolverOptions = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=20),
+              act_idx=None, linsolve: str = "auto"):
     """Build ilqr(params, y0, us_init) → (us, ys, total_cost).
 
     Jittable; vmap over (y0, us_init) for scenario batches.
+
+    act_idx: optional index list into the packed input vector selecting the
+    actuated coordinates (reference input_map, e.g. quadruped_waypoint.jl:55
+    pads 6 zeros for the unactuated trunk).  The iLQR control dimension
+    becomes len(act_idx).
     """
-    step = make_diff_step_minimal(topo, opts)
-    ny, nu = topo.minimal_dim, topo.input_dim
+    step_w_full, linearize_full, w_seed_full = make_rollout_linearize_minimal(
+        topo, opts, linsolve=linsolve
+    )
+    ny = topo.minimal_dim
+    n_packed = topo.input_dim
+    if act_idx is None:
+        nu = n_packed
+        expand = lambda u: u
+        shrink_B = lambda B: B
+    else:
+        act_idx = np.asarray(act_idx, dtype=np.int32)
+        nu = len(act_idx)
+        expand = lambda u: jnp.zeros(n_packed, dtype=u.dtype).at[act_idx].set(u)
+        shrink_B = lambda B: B[:, act_idx]
+
+    def step_w(params, y, u, w_prev=None):
+        return step_w_full(params, y, expand(u), w_prev=w_prev)
+
     H = horizon
     goal = jnp.asarray(cost.y_goal)
-    goals = jnp.broadcast_to(goal, (H + 1, ny)) if goal.ndim == 1 else goal
+    default_goals = (
+        jnp.broadcast_to(goal, (H + 1, ny)) if goal.ndim == 1 else goal
+    )
     Qm, Rm, Qfm = _mat(cost.Q, ny), _mat(cost.R, nu), _mat(cost.Qf, ny)
 
-    def stage_cost(y, u, t):
-        dy = y - goals[t]
+    def stage_cost(y, u, g):
+        dy = y - g
         return dy @ Qm @ dy + u @ Rm @ u
 
-    def term_cost(y):
-        dy = y - goals[H]
+    def term_cost(y, g):
+        dy = y - g
         return dy @ Qfm @ dy
 
-    def rollout(params, y0, us):
-        def body(y, u):
-            y2 = step(params, y, u)
-            return y2, y2
+    def rollout(params, y0, us, goals, w_seed):
+        """Scan rollout carrying the contact-solver solution along the
+        trajectory (each knot warm-starts from its predecessor); returns the
+        per-knot (w, μ) so linearize() reuses the solves."""
 
-        yH, ys = jax.lax.scan(body, y0, us)
+        def body(carry, u):
+            y, w_prev = carry
+            y2, w, mu, ok = step_w(params, y, u, w_prev=w_prev)
+            return (y2, w), (y2, w, mu, ok)
+
+        (_, _), (ys, ws, mus, oks) = jax.lax.scan(body, (y0, w_seed), us)
         ys = jnp.concatenate([y0[None], ys], axis=0)  # (H+1, ny)
-        ts = jnp.arange(H)
-        cost_run = jnp.sum(jax.vmap(stage_cost)(ys[:-1], us, ts))
-        return ys, cost_run + term_cost(ys[-1])
+        cost_run = jnp.sum(jax.vmap(stage_cost)(ys[:-1], us, goals[:-1]))
+        return ys, cost_run + term_cost(ys[-1], goals[-1]), (ws, mus, oks)
 
-    def linearize(params, ys, us):
-        def ab(y, u):
-            A = jax.jacfwd(step, argnums=1)(params, y, u)
-            B = jax.jacfwd(step, argnums=2)(params, y, u)
-            return A, B
+    def linearize(params, ys, us, ws, mus):
+        """IFT Jacobians at every knot, vmapped — one Jacobian assembly +
+        LU per knot, zero extra contact solves (gradients.py
+        make_rollout_linearize_minimal)."""
 
-        return jax.vmap(ab)(ys[:-1], us)
+        def ab(y, u, w, mu):
+            A, B = linearize_full(params, y, expand(u), w, mu)
+            return A, shrink_B(B)
 
-    def backward(As, Bs, ys, us, reg):
-        ts = jnp.arange(H)
+        return jax.vmap(ab)(ys[:-1], us, ws, mus)
+
+    def backward(As, Bs, ys, us, reg, goals):
         dys = ys[:-1] - goals[:-1]
         lys = 2.0 * dys @ Qm  # (H, ny)
         lus = 2.0 * us @ Rm
 
         VH = 2.0 * Qfm
         vH = 2.0 * Qfm @ (ys[-1] - goals[-1])
+
+        if config.parallel_riccati:
+            from .parallel_lqr import lqr_backward_parallel
+
+            Qs = jnp.broadcast_to(2.0 * Qm, (H, ny, ny))
+            Rs = jnp.broadcast_to(2.0 * Rm, (H, nu, nu))
+            ks, Ks, _, _ = lqr_backward_parallel(
+                As, Bs, Qs, Rs, lys, lus, VH, vH, reg=reg
+            )
+            return ks, Ks, jnp.asarray(0.0, ys.dtype)
 
         def bstep(carry, inp):
             V, v = carry
@@ -117,66 +162,79 @@ def make_ilqr(topo: Topology, cost: QuadCost, horizon: int,
         )
         return ks, Ks, jnp.sum(dVs)
 
-    def forward(params, ys, us, ks, Ks, alpha):
+    def forward(params, ys, us, ks, Ks, alpha, goals, w_seed):
         def body(carry, inp):
-            y = carry
+            y, w_prev = carry
             y_ref, u_ref, k, K = inp
             u = u_ref + alpha * k + K @ (y - y_ref)
-            y2 = step(params, y, u)
-            return y2, (y2, u)
+            y2, w, mu, ok = step_w(params, y, u, w_prev=w_prev)
+            return (y2, w), (y2, u, w, mu, ok)
 
-        yH, (ys2, us2) = jax.lax.scan(body, ys[0], (ys[:-1], us, ks, Ks))
+        (_, _), (ys2, us2, ws, mus, oks) = jax.lax.scan(
+            body, (ys[0], w_seed), (ys[:-1], us, ks, Ks)
+        )
         ys2 = jnp.concatenate([ys[:1], ys2], axis=0)
-        ts = jnp.arange(H)
-        c = jnp.sum(jax.vmap(stage_cost)(ys2[:-1], us2, ts)) + term_cost(ys2[-1])
-        return ys2, us2, c
+        c = jnp.sum(
+            jax.vmap(stage_cost)(ys2[:-1], us2, goals[:-1])
+        ) + term_cost(ys2[-1], goals[-1])
+        return ys2, us2, c, (ws, mus, oks)
 
     alphas = jnp.asarray(config.alphas)
 
-    def ilqr(params: Params, y0, us_init):
-        ys0, c0 = rollout(params, y0, us_init)
+    def ilqr(params: Params, y0, us_init, goals=None):
+        goals = default_goals if goals is None else goals
+        wseed = w_seed_full(params, y0)
+        ys0, c0, (ws0, mus0, ok0) = rollout(params, y0, us_init, goals, wseed)
 
         def iteration(carry, _):
-            ys, us, c, reg = carry
-            As, Bs = linearize(params, ys, us)
-            ks, Ks, dV = backward(As, Bs, ys, us, reg)
+            ys, us, c, reg, ws, mus, okf = carry
+            As, Bs = linearize(params, ys, us, ws, mus)
+            ks, Ks, dV = backward(As, Bs, ys, us, reg, goals)
 
-            cand = jax.vmap(lambda a: forward(params, ys, us, ks, Ks, a))(alphas)
-            ys_c, us_c, cs = cand
+            cand = jax.vmap(
+                lambda a: forward(params, ys, us, ks, Ks, a, goals, wseed)
+            )(alphas)
+            ys_c, us_c, cs, (ws_c, mus_c, oks_c) = cand
             best = jnp.argmin(cs)
             improved = cs[best] < c
-            ys2 = jnp.where(improved, ys_c[best], ys)
-            us2 = jnp.where(improved, us_c[best], us)
-            c2 = jnp.where(improved, cs[best], c)
+            pick = lambda new, old: jnp.where(improved, new[best], old)
+            ys2, us2, c2 = pick(ys_c, ys), pick(us_c, us), pick(cs, c)
+            ws2, mus2 = pick(ws_c, ws), pick(mus_c, mus)
+            okf2 = pick(jnp.mean(oks_c.astype(ys.dtype), axis=1), okf)
             reg2 = jnp.where(
                 improved,
                 jnp.maximum(reg / config.reg_factor, 1e-9),
                 jnp.minimum(reg * config.reg_factor, 1e4),
             )
-            return (ys2, us2, c2, reg2), c2
+            return (ys2, us2, c2, reg2, ws2, mus2, okf2), c2
 
-        (ys, us, c, _), _ = jax.lax.scan(
-            iteration, (ys0, us_init, c0, jnp.asarray(config.reg_init)),
+        okf0 = jnp.mean(ok0.astype(ys0.dtype))
+        (ys, us, c, _, _, _, okf), _ = jax.lax.scan(
+            iteration,
+            (ys0, us_init, c0, jnp.asarray(config.reg_init, ys0.dtype),
+             ws0, mus0, okf0),
             None, length=config.iterations,
         )
-        return us, ys, c
+        return us, ys, c, okf
 
     return ilqr
 
 
 def make_mpc_controller(topo: Topology, cost: QuadCost, horizon: int,
                         config: ILQRConfig = ILQRConfig(iterations=3),
-                        opts: SolverOptions = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=20)):
+                        opts: SolverOptions = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=20),
+                        act_idx=None, linsolve: str = "auto"):
     """Receding-horizon controller: warm-started iLQR resolve each step.
 
     Returns mpc(params, y, us_warm) → (u0, us_next) — jittable, vmappable
     across scenario batches (the solves/s/chip benchmark unit).
     """
-    ilqr = make_ilqr(topo, cost, horizon, config, opts)
+    ilqr = make_ilqr(topo, cost, horizon, config, opts, act_idx=act_idx,
+                     linsolve=linsolve)
 
-    def mpc(params, y, us_warm):
-        us, ys, c = ilqr(params, y, us_warm)
+    def mpc(params, y, us_warm, goals=None):
+        us, ys, c, okf = ilqr(params, y, us_warm, goals)
         us_next = jnp.concatenate([us[1:], us[-1:]], axis=0)
-        return us[0], us_next, c
+        return us[0], us_next, c, okf
 
     return mpc

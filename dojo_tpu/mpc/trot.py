@@ -1,0 +1,144 @@
+"""Quadruped trot-gait tracking MPC — the driver's north-star configuration
+(BASELINE.json: "Quadruped trot-gait MPC (12-DoF, 4 contact points, joint
+limits)", H=40, dt=0.05).
+
+The reference repo has no trot planner; its quadruped environment tracks
+user-supplied joint trajectories (DojoEnvironments/src/environments/
+quadruped_waypoint.jl:55-58 pads the unactuated trunk).  Here the gait
+reference is generated procedurally: diagonal leg pairs (FR+RL / FL+RR)
+swing in anti-phase around the standing pose while the base tracks a
+constant forward velocity.  The MPC is the generic iLQR controller
+(mpc/ilqr.py) over the IFT-differentiable contact dynamics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import SolverOptions
+from .ilqr import ILQRConfig, QuadCost, make_ilqr, make_mpc_controller
+
+GROUPS = ("FR", "FL", "RR", "RL")
+# diagonal pairs: FR+RL swing together, FL+RR half a period later
+PHASE = {"FR": 0.0, "RL": 0.0, "FL": np.pi, "RR": np.pi}
+
+
+class TrotSpec(NamedTuple):
+    """Gait parameters (angles in radians, speeds in m/s)."""
+
+    vx: float = 0.25  # forward base speed
+    period: float = 0.6  # gait cycle length [s]
+    base_height: float = 0.43  # trunk height (reference standing pose,
+    # mechanism.jl:118: initialize_quadruped! body z = 0.43)
+    thigh_stand: float = np.pi / 4
+    calf_stand: float = -np.pi / 2
+    thigh_swing: float = 0.30  # swing-phase thigh lift amplitude
+    calf_swing: float = 0.30  # swing-phase calf curl amplitude
+
+
+def _layout(mech):
+    """(base_off, {joint_name: off}) into the minimal vector."""
+    from ..minimal import _joint_slices
+
+    slices, _ = _joint_slices(mech.topo)
+    offs = {
+        name: slices[j][0] for name, j in mech.joint_index.items()
+    }
+    return offs
+
+
+def trot_reference(mech, t0, horizon, dt, spec: TrotSpec = TrotSpec()):
+    """(H+1, ny) minimal-coordinate gait reference starting at phase time t0.
+
+    t0 may be a traced scalar (receding-horizon use: t0 = k*dt advances the
+    phase each control step).
+    """
+    ny = mech.topo.minimal_dim
+    offs = _layout(mech)
+    t = t0 + dt * jnp.arange(horizon + 1)  # (H+1,)
+    phi = 2.0 * jnp.pi * t / spec.period
+
+    ref = jnp.zeros((horizon + 1, ny))
+    b = offs["floating_base"]
+    ref = ref.at[:, b + 0].set(spec.vx * t)  # forward position
+    ref = ref.at[:, b + 2].set(spec.base_height)
+    ref = ref.at[:, b + 6].set(spec.vx)  # forward velocity
+    for g in GROUPS:
+        sw = jnp.maximum(jnp.sin(phi + PHASE[g]), 0.0)  # swing window
+        thigh = spec.thigh_stand - spec.thigh_swing * sw
+        calf = spec.calf_stand - spec.calf_swing * sw
+        ref = ref.at[:, offs[f"{g}_thigh_joint"]].set(thigh)
+        ref = ref.at[:, offs[f"{g}_calf_joint"]].set(calf)
+        # hip reference stays 0
+    return ref
+
+
+def trot_cost(mech):
+    """Diagonal tracking weights over the quadruped minimal state."""
+    ny, topo = mech.topo.minimal_dim, mech.topo
+    offs = _layout(mech)
+    Q = np.full(ny, 0.0)
+    b = offs["floating_base"]
+    Q[b + 0 : b + 3] = (8.0, 8.0, 40.0)  # base position
+    Q[b + 3 : b + 6] = (20.0, 8.0, 8.0)  # base attitude (roll stiffest)
+    Q[b + 6 : b + 9] = (2.0, 1.0, 1.0)  # base velocity
+    Q[b + 9 : b + 12] = 0.5  # base angular velocity
+    for g in GROUPS:
+        for nm, wq, wv in (
+            (f"{g}_hip_joint", 6.0, 0.05),
+            (f"{g}_thigh_joint", 6.0, 0.05),
+            (f"{g}_calf_joint", 4.0, 0.05),
+        ):
+            o = offs[nm]
+            Q[o] = wq
+            Q[o + 1] = wv
+    nu = 12
+    R = np.full(nu, 2e-3)
+    return QuadCost(
+        Q=jnp.asarray(Q), R=jnp.asarray(R), Qf=jnp.asarray(2.0 * Q),
+        y_goal=jnp.zeros(ny),  # overridden at call time by `goals`
+    )
+
+
+def actuated_indices(mech):
+    """Packed-input indices of the 12 revolute leg joints (trunk unactuated
+    — reference input_map, quadruped_waypoint.jl:55-58)."""
+    idx = []
+    off = 0
+    topo = mech.topo
+    name_of = {j: n for n, j in mech.joint_index.items()}
+    for j in range(topo.nj):
+        n_free = topo.tra_nfree[j] + topo.rot_nfree[j]
+        if name_of[j] != "floating_base":
+            idx.extend(range(off, off + n_free))
+        off += n_free
+    return np.asarray(idx, dtype=np.int32)
+
+
+def make_trot_mpc(mech, horizon=40, spec: TrotSpec = TrotSpec(),
+                  config: ILQRConfig = ILQRConfig(iterations=2),
+                  opts: SolverOptions = SolverOptions(
+                      rtol=1e-4, btol=1e-3, max_iter=16),
+                  dt=None, linsolve: str = "auto"):
+    """Receding-horizon trot controller for the quadruped.
+
+    Returns (mpc, ref_fn):
+      mpc(params, y, us_warm, goals) → (u0, us_next, cost)  — one MPC solve,
+        the north-star benchmark unit; jit + vmap over scenarios.
+      ref_fn(t0) → (H+1, ny) gait reference starting at phase t0.
+    """
+    dt = float(mech.params.timestep) if dt is None else dt
+    cost = trot_cost(mech)
+    act = actuated_indices(mech)
+    mpc = make_mpc_controller(
+        mech.topo, cost, horizon, config=config, opts=opts, act_idx=act,
+        linsolve=linsolve,
+    )
+
+    def ref_fn(t0):
+        return trot_reference(mech, t0, horizon, dt, spec)
+
+    return mpc, ref_fn

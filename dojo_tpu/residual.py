@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from . import contacts as ct
 from . import joints as jk
 from . import lie
-from .core import BodyState, Params, Topology
+from .core import CONTACT_WIDTH, BodyState, Params, Topology
 
 _JOINT_FIELDS = [
     "tra_cmask", "tra_nmask", "tra_lam_mask", "tra_free_mask",
@@ -197,7 +197,15 @@ def contact_terms(cpj, kind, geom, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv,
     qp3 = lie.next_orientation(qp2, wp, h)
     xc3 = lie.next_position(xc2, vc, h)
     qc3 = lie.next_orientation(qc2, wcv, h)
-    s, gam = wcj[:nh], wcj[nh:]
+    # nh is the padded half-width (topo.cw // 2, the max over the
+    # mechanism's contact kinds); nk is this kind's true half-width.  Pad
+    # slots are anchored at 1 by the identity rows appended below (and
+    # excluded from the cone index sets), so mixed kinds coexist in one
+    # fixed-shape contact array (reference freely mixes kinds,
+    # contacts/constructor.jl:66-105).
+    nk = CONTACT_WIDTH[kind] // 2
+    s_full, g_full = wcj[:nh], wcj[nh:]
+    s, gam = s_full[:nk], g_full[:nk]
     if geom != "halfspace":
         geometry = getattr(ct, _PAIR_GEOMETRY[geom])
         dist, cpp, cpc, normal, tangent = geometry(cpj, xp3, qp3, xc3, qc3)
@@ -215,9 +223,14 @@ def contact_terms(cpj, kind, geom, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv,
         cpj, kind, normal, tangent, cpp, cpc, xp3, qp3, xc3, qc3, gam
     )
     comp = ct.complementarity(kind, s, gam)
-    neutral = ct.neutral_vector(kind, nh, dtype)
+    neutral = ct.neutral_vector(kind, nk, dtype)
     cons = ct.pair_constraint_rows(cpj, kind, dist, vt, s, gam)
-    rows = jnp.concatenate([comp - mu * neutral, cons])
+    comp_rows = comp - mu * neutral
+    if nh > nk:  # pad-slot anchors: s_pad = 1, γ_pad = 1
+        one = jnp.ones(nh - nk, dtype)
+        comp_rows = jnp.concatenate([comp_rows, s_full[nk:] - one])
+        cons = jnp.concatenate([cons, g_full[nk:] - one])
+    rows = jnp.concatenate([comp_rows, cons])
     return wr_p, wr_c, rows
 
 
@@ -245,9 +258,6 @@ def make_residual(topo: Topology):
     jchild = jnp.asarray(np.asarray(topo.joint_child, dtype=np.int32) + 1)
     cparent = jnp.asarray(np.asarray(topo.contact_parent, dtype=np.int32) + 1)
     kinds = topo.contact_kind
-    uniform_kind = kinds[0] if nc else None
-    if nc and any(k != uniform_kind for k in kinds):
-        raise NotImplementedError("mixed contact kinds per mechanism: pad later")
 
     def residual(w, ctx: StepContext, params: Params, mu):
         h = params.timestep
@@ -305,14 +315,18 @@ def make_residual(topo: Topology):
                 "halfspace" if topo.contact_child[c] < 0 else "sphere"
                 for c in range(nc)
             )
-            for geom in sorted(set(geoms)):
-                ids = [c for c in range(nc) if geoms[c] == geom]
+            for kind, geom in sorted(set(zip(kinds, geoms))):
+                ids = [
+                    c for c in range(nc)
+                    if geoms[c] == geom and kinds[c] == kind
+                ]
                 idx = np.asarray(ids)
                 cp = {k: a[idx] for k, a in cp_all.items()}
                 p_sel, c_sel = cparent[idx], cchild[idx]
                 wr_p, wr_c, rows = jax.vmap(
-                    lambda cpj, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv: contact_terms(
-                        cpj, uniform_kind, geom, wcj,
+                    lambda cpj, wcj, xp2, qp2, vp, wp, xc2, qc2, vc, wcv,
+                    kind=kind, geom=geom: contact_terms(
+                        cpj, kind, geom, wcj,
                         xp2, qp2, vp, wp, xc2, qc2, vc, wcv, h, mu, nh,
                     )
                 )(

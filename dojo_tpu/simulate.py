@@ -12,6 +12,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import lie
 from .core import BodyState, Params, SolverOptions, Topology
@@ -25,6 +26,7 @@ class StepInfo(NamedTuple):
     rvio: jax.Array
     bvio: jax.Array
     w: jax.Array  # full solver solution (velocities + impulses)
+    rescued: jax.Array = np.False_  # dense rescue pass finished this lane
 
 
 def make_step(topo: Topology, opts: SolverOptions = SolverOptions(),
@@ -35,12 +37,18 @@ def make_step(topo: Topology, opts: SolverOptions = SolverOptions(),
     (simulate.jl:25-33): input_impulse! → mehrotra! → update_state!.
     u_padded: (nj, 6) per-joint [force(3), torque(3)] in free-coordinate
     slots (see residual.pad_inputs); None for passive.
+
+    w_prev (optional): previous step's solver solution (StepInfo.w) —
+    warm-starts the interior-point solve (impulses + cone pairs re-centered
+    into the interior), roughly halving steady-state Newton iterations.
     """
     init_w, solve, _ = make_solver(topo, linsolve=linsolve)
 
-    def step(params: Params, state: BodyState, u=None, fext=None, text=None):
+    def step(params: Params, state: BodyState, u=None, fext=None, text=None,
+             w_prev=None):
         ctx = make_context(topo, state, params, u, fext, text)
-        w0 = init_w(state.v, state.w, params)
+        w0 = init_w(state.v, state.w, params, w_prev=w_prev,
+                    warm_floor=opts.warm_floor)
         res = solve(w0, ctx, params, opts)
         nb = topo.nb
         bv = res.w[: 6 * nb].reshape(nb, 6)
@@ -58,9 +66,11 @@ def make_step(topo: Topology, opts: SolverOptions = SolverOptions(),
             rvio=res.rvio,
             bvio=res.bvio,
             w=res.w,
+            rescued=res.rescued,
         )
         return new_state, info
 
+    step.init_w = init_w
     return step
 
 
@@ -85,17 +95,35 @@ def make_simulate(topo: Topology, opts: SolverOptions = SolverOptions()):
     """
     step = make_step(topo, opts)
 
-    def simulate(params, state0, us=None, horizon: int = None):
+    def simulate(params, state0, us=None, horizon: int = None,
+                 warm_start: bool = False):
         if us is None:
             assert horizon is not None
             us = jnp.zeros((horizon, topo.nj, 6), dtype=state0.x.dtype)
 
-        def body(state, u):
-            new_state, info = step(params, state, u)
-            rec = (state.x, state.q, state.v, state.w, info)
-            return new_state, rec
+        if warm_start:
+            # seed the carry with the cone-neutral init so the scan carry
+            # keeps one pytree structure; the first step is then identical
+            # to a cold solve up to the warm floor
+            w_seed = step.init_w(state0.v, state0.w, params)
 
-        final, (xs, qs, vs, ws, infos) = jax.lax.scan(body, state0, us)
+            def body(carry, u):
+                state, w_prev = carry
+                new_state, info = step(params, state, u, w_prev=w_prev)
+                rec = (state.x, state.q, state.v, state.w, info)
+                return (new_state, info.w), rec
+
+            (final, _), (xs, qs, vs, ws, infos) = jax.lax.scan(
+                body, (state0, w_seed), us
+            )
+        else:
+
+            def body(state, u):
+                new_state, info = step(params, state, u)
+                rec = (state.x, state.q, state.v, state.w, info)
+                return new_state, rec
+
+            final, (xs, qs, vs, ws, infos) = jax.lax.scan(body, state0, us)
         return final, Trajectory(x=xs, q=qs, v=vs, w=ws, info=infos)
 
     return simulate

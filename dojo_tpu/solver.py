@@ -50,6 +50,7 @@ class SolveResult(NamedTuple):
     bvio: jax.Array
     mu: jax.Array  # final complementarity target (gradients are taken here,
     # matching the reference's relaxed-solution gradient semantics)
+    rescued: jax.Array = np.False_  # lane finished by the dense rescue pass
 
 
 def _ort_alpha(lam, dl, act, tau):
@@ -146,6 +147,14 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
             @cv_fact.def_vmap
             def _fact_rule(axis_size, in_batched, blocks):
                 if not _pallas_ok(blocks, in_batched):
+                    ax = 0 if in_batched[0] else None
+                    if ax is None:
+                        blocks = jax.tree.map(
+                            lambda a: jnp.broadcast_to(
+                                a, (axis_size,) + a.shape
+                            ),
+                            blocks,
+                        )
                     return jax.vmap(ldu_factorize)(blocks), (True,) * 3
                 fac_b, _ = PL.make_pallas_ldu(sched, refine=n_ref)
                 return fac_b(blocks), (True,) * 3
@@ -163,7 +172,13 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
             @cv_solve.def_vmap
             def _solve_rule(axis_size, in_batched, blocks, fb, lu, ps, rhs):
                 if not _pallas_ok(blocks, in_batched):
-                    return jax.vmap(_solve1)(blocks, fb, lu, ps, rhs), True
+                    axes = tuple(0 if b else None for b in in_batched)
+                    return (
+                        jax.vmap(_solve1, in_axes=axes)(
+                            blocks, fb, lu, ps, rhs
+                        ),
+                        True,
+                    )
                 _, sol_b = PL.make_pallas_ldu(sched, refine=n_ref)
                 rhs_nod = PL.flat_to_nodes(sched, rhs)
                 x_nod = sol_b(blocks, (fb, lu, ps), rhs_nod)
@@ -314,10 +329,37 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
         bv = jnp.where(keep, bv, bvio)
         return wc, rv, bv
 
-    def init_w(state_v, state_w, params: Params):
-        """Warm-started initial point (set_velocity_solution!, reset!,
-        initialize! — mehrotra.jl:10-20)."""
+    def init_w(state_v, state_w, params: Params, w_prev=None, warm_floor=1e-2):
+        """Initial point (set_velocity_solution!, reset!, initialize! —
+        mehrotra.jl:10-20).
+
+        w_prev=None reproduces the reference semantics: velocities warm-
+        started from the state, cone variables reset to the strictly-
+        feasible neutral point.  With w_prev (the previous step's solution)
+        the joint multipliers and cone pairs carry over, re-centered into
+        the cone interior by an elementwise floor — steady-state contact
+        then converges in roughly half the Newton iterations (BASELINE.md
+        perf lever 3)."""
         dtype = state_v.dtype
+        if w_prev is not None:
+            w = w_prev.astype(dtype)
+            vel = jnp.concatenate([state_v, state_w], axis=-1).reshape(-1)
+            w = w.at[: 6 * nb].set(vel)
+            fl = jnp.asarray(warm_floor, dtype)
+            if n_ort:
+                w = w.at[ort_s].set(jnp.maximum(w[ort_s], fl))
+                w = w.at[ort_g].set(jnp.maximum(w[ort_g], fl))
+            if n_soc:
+                for idx in (soc_s, soc_g):
+                    blk = w[idx]  # (n_soc, 3)
+                    t0 = jnp.maximum(
+                        blk[:, 0],
+                        jnp.linalg.norm(blk[:, 1:], axis=-1) + fl,
+                    )
+                    w = w.at[idx].set(
+                        jnp.concatenate([t0[:, None], blk[:, 1:]], axis=-1)
+                    )
+            return w
         parts = [jnp.concatenate([state_v, state_w], axis=-1).reshape(-1)]
         if nj:
             sub = jnp.concatenate(
@@ -329,7 +371,11 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
             for c in range(nc):
                 kind = topo.contact_kind[c]
                 nh = CW // 2
-                neutral = ct.neutral_vector(kind, nh, dtype)
+                # this kind's true half-width; pad slots (mixed-kind
+                # mechanisms) sit at their anchor value 1
+                neutral = ct.neutral_vector(
+                    kind, CONTACT_WIDTH[kind] // 2, dtype
+                )
                 if kind == "nonlinear":
                     g_o, s_o = _ort_init(neutral[:1], neutral[:1])
                     g_s, s_s = _soc_init(neutral[1:4], neutral[1:4])
@@ -379,7 +425,7 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
             success = (rvio < opts.rtol) & (bvio < opts.btol)
             return SolveResult(
                 w=w, success=success, iterations=it, rvio=rvio, bvio=bvio,
-                mu=mu_f,
+                mu=mu_f, rescued=jnp.zeros_like(success),
             )
 
         body, violations_at = make_iteration(ctx, params, opts)
@@ -393,7 +439,12 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
         # progress — under vmap the second while_loop executes zero
         # iterations when every lane succeeded, so the common path stays at
         # graph-LDU cost.
-        if sched is not None and w0.dtype == jnp.float32 and not opts.ldu_f64:
+        if (
+            sched is not None
+            and w0.dtype == jnp.float32
+            and not opts.ldu_f64
+            and opts.rescue
+        ):
             # restart from w0, not the stalled endpoint: a stalled IP
             # iterate sits near the cone boundary with poor centrality and
             # poisons the dense re-solve (measured: warm-started rescue
@@ -408,6 +459,7 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
                 rvio=pick(res.rvio, res2.rvio),
                 bvio=pick(res.bvio, res2.bvio),
                 mu=pick(res.mu, res2.mu),
+                rescued=(~res.success) & res2.success,
             )
         return res
 
@@ -496,5 +548,50 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
 
         return body, violations_at
 
+    def solve_traced(w0, ctx: StepContext, params: Params, opts: SolverOptions):
+        """Observability variant of solve(): fixed max_iter lax.scan
+        recording per-iteration solver statistics — the structured analog of
+        the reference's `verbose` trace table (mehrotra.jl:75-98, columns
+        n/rvio/bvio/μ).  Returns (SolveResult, trace dict of (max_iter,)
+        arrays with `valid` marking executed iterations).  Iterations after
+        convergence are masked no-ops, so the result matches solve() up to
+        the early-exit heuristics."""
+        with jax.default_matmul_precision("highest"):
+            rvw = rvio_weights(params)
+            oact = ort_activity(params)
+            rvio0, bvio0 = violations(w0, ctx, params, rvw, oact)
+            done0 = (rvio0 < opts.rtol) & (bvio0 < opts.btol)
+            body, _ = make_iteration(ctx, params, opts)
+
+            def scan_body(st, _):
+                done_in = st[-1]
+                st2 = body(st)
+                # freeze finished lanes (masked no-op after convergence)
+                st2 = jax.tree.map(
+                    lambda a, b: jnp.where(done_in, a, b), st, st2
+                )
+                (w, rvio, bvio, mu, ucut, noprog, it, done) = st2
+                rec = {
+                    "rvio": rvio, "bvio": bvio, "mu": mu,
+                    "undercut": ucut, "valid": ~done_in,
+                }
+                return st2, rec
+
+            init = (
+                w0, rvio0, bvio0, jnp.asarray(0.0, w0.dtype),
+                jnp.asarray(opts.undercut, w0.dtype),
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), done0,
+            )
+            (w, rvio, bvio, mu_f, _, _, it, _), trace = jax.lax.scan(
+                scan_body, init, None, length=opts.max_iter
+            )
+            success = (rvio < opts.rtol) & (bvio < opts.btol)
+            res = SolveResult(
+                w=w, success=success, iterations=it, rvio=rvio, bvio=bvio,
+                mu=mu_f, rescued=jnp.zeros_like(success),
+            )
+            return res, trace
+
     solve.make_iteration = make_iteration
+    solve.traced = solve_traced
     return init_w, solve, violations

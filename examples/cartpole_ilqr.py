@@ -39,7 +39,7 @@ def main(horizon=40, iterations=12):
         )
     )
     us0 = jnp.zeros((horizon, mech.input_dim))
-    us, ys, c = ilqr(mech.params, y0, us0)
+    us, ys, c, okf = ilqr(mech.params, y0, us0)
     print("final cost", float(c))
     print("terminal state", np.asarray(ys[-1]))
     return np.asarray(ys), np.asarray(us), float(c)

@@ -11,7 +11,9 @@ from . import envs, lie, mechanics, minimal, models, mpc, parallel, urdf, visual
 from .gradients import (
     make_diff_step,
     make_diff_step_minimal,
+    make_rollout_linearize_minimal,
     maximal_jacobians,
+    maximal_jacobians_attjac,
     minimal_jacobians,
 )
 from .builder import (
@@ -21,8 +23,13 @@ from .builder import (
     Mechanism,
     box_body,
     build,
+    capsule_body,
+    combined_body,
     cylinder_body,
+    mesh_body,
+    pyramid_body,
     reduce_fixed_joints,
+    set_floating_base,
     sphere_body,
 )
 from .contacts import contact_locations, signed_distances

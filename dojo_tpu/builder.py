@@ -69,6 +69,47 @@ def sphere_body(name, r, mass, **kw):
     return Body(name, mass, J, shape={"type": "sphere", "r": r})
 
 
+def capsule_body(name, r, h, mass, **kw):
+    """Capsule = cylinder of length h + two hemispherical caps
+    (reference bodies/shapes.jl Capsule:158-182: mass split by volume,
+    parallel-axis hemispheres at d = 3r/8 + h/2)."""
+    vol_cyl = np.pi * h * r**2
+    vol_hemi = np.pi * 4.0 / 3.0 * r**3 / 2.0
+    m_cyl = mass * vol_cyl / (vol_cyl + 2 * vol_hemi)
+    m_hemi = mass * vol_hemi / (vol_cyl + 2 * vol_hemi)
+    ixx_cyl = m_cyl * (h**2 / 12.0 + r**2 / 4.0)
+    izz_cyl = m_cyl * r**2 / 2.0
+    ixx_hemi = 83.0 / 320.0 * m_hemi * r**2
+    izz_hemi = m_hemi * 2.0 / 5.0 * r**2 / 2.0
+    d = 3.0 / 8.0 * r + 0.5 * h
+    ixx = ixx_cyl + 2.0 * (ixx_hemi + m_hemi * d**2)
+    izz = izz_cyl + 2.0 * izz_hemi
+    J = np.diag([ixx, ixx, izz])
+    return Body(name, mass, J, shape={"type": "capsule", "rh": (r, h)})
+
+
+def pyramid_body(name, w, h, mass, **kw):
+    """Square pyramid pointing +z, COM at h/4 (shapes.jl Pyramid:270-300)."""
+    J = mass / 80.0 * np.diag(
+        [4 * w**2 + 3 * h**2, 4 * w**2 + 3 * h**2, 8 * w**2]
+    )
+    return Body(name, mass, J, shape={"type": "pyramid", "wh": (w, h)})
+
+
+def mesh_body(name, mass, inertia, path=None, scale=(1.0, 1.0, 1.0), **kw):
+    """Body with explicit inertia and a mesh visual (shapes.jl Mesh:13-60;
+    meshes never define inertia in the reference either — URDF supplies it)."""
+    return Body(name, mass, np.asarray(inertia),
+                shape={"type": "mesh", "path": path, "scale": tuple(scale)})
+
+
+def combined_body(name, mass, inertia, shapes, **kw):
+    """Body with explicit inertia and a list of visual shape dicts
+    (shapes.jl CombinedShapes:193-258)."""
+    return Body(name, mass, np.asarray(inertia),
+                shape={"type": "combined", "shapes": list(shapes)})
+
+
 @dataclasses.dataclass
 class JointDef:
     kind: str
@@ -257,6 +298,66 @@ def reduce_fixed_joints(bodies, joints, contacts=()):
                     )
         joints.remove(jfix)
         bodies.remove(c)
+
+
+def set_floating_base(bodies, joints, name):
+    """Re-root the kinematic chain so body `name` hangs directly off the
+    origin joint (reference mechanism/methods.jl set_floating_base:87-159).
+
+    Operates on definition lists before build().  The joint chain from the
+    origin's current subtree root down to `name` is reversed: each joint on
+    the path swaps parent/child and vertices, negates its axes, and inverts
+    its orientation offset; the origin-attached joint re-points its child to
+    `name` (keeping its kind, e.g. floating).  Returns (bodies, joints) —
+    contacts are body-attached and unaffected.
+    """
+    import copy
+
+    bodies = [copy.deepcopy(b) for b in bodies]
+    joints = [copy.deepcopy(j) for j in joints]
+
+    child_to_joint = {}
+    for jd in joints:
+        if jd.child in child_to_joint:
+            raise ValueError(
+                f"set_floating_base: body '{jd.child}' has multiple parent "
+                "joints (kinematic loop) — re-rooting a loop is unsupported"
+            )
+        child_to_joint[jd.child] = jd
+
+    if name not in child_to_joint:
+        raise ValueError(f"set_floating_base: unknown body '{name}'")
+    chain = [child_to_joint[name]]
+    while chain[-1].parent not in ("origin", "world"):
+        chain.append(child_to_joint[chain[-1].parent])
+
+    for jd in chain:
+        if jd.parent in ("origin", "world"):
+            jd.child = name
+            continue
+        off = np.asarray(jd.orientation_offset, np.float64)
+        R = np.asarray(lie.rotation_matrix(jnp.asarray(off)))
+        jd.parent, jd.child = jd.child, jd.parent
+        jd.parent_vertex, jd.child_vertex = (
+            np.asarray(jd.child_vertex, np.float64),
+            np.asarray(jd.parent_vertex, np.float64),
+        )
+        # Reversal conjugates the rotational displacement — rotvec' =
+        # −R(off)·rotvec — and maps the parent-frame translational
+        # displacement by −R(off)ᵀ (on the constraint manifold), so the two
+        # sub-joint axes transform differently.  The double negation keeps
+        # minimal coordinates invariant, so spring offsets and limits carry
+        # over unchanged.  (The reference uses plain −axis,
+        # methods.jl:124-136 — exact only for identity offsets.)
+        a_rot = np.asarray(
+            jd.axis if jd.rot_axis is None else jd.rot_axis, np.float64
+        )
+        jd.rot_axis = -R @ a_rot
+        jd.axis = -R.T @ np.asarray(jd.axis, np.float64)
+        jd.orientation_offset = np.asarray(
+            lie.qconj(jnp.asarray(off))
+        )
+    return bodies, joints
 
 
 def _masks(axis, nlam):

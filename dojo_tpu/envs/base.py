@@ -42,6 +42,21 @@ class Environment:
     def is_done(self, y):
         return jnp.asarray(False)
 
+    def external_forces(self, state):
+        """Per-body external (fext world-frame (nb,3), text body-frame
+        (nb,3)) as a pure traced function of the maximal state — the analog
+        of the reference's per-step add_external_force! controller hooks
+        (e.g. uuv_waypoint.jl:93 buoyancy!).  Return None for none."""
+        return None
+
+    # -- waypoint-progression aux state (reference waypoint envs) -----------
+    def aux_reset(self):
+        """Initial auxiliary env state (e.g. waypoint index); None if unused."""
+        return None
+
+    def aux_update(self, aux, y2):
+        return aux
+
     # -- API ------------------------------------------------------------------
     @property
     def state_dim(self):
@@ -69,7 +84,9 @@ class Environment:
             def fn(y, u_packed):
                 state = minimal_to_maximal(topo, params, y)
                 u = pad_inputs(topo, u_packed)
-                state2, info = inner(params, state, u)
+                ext = self.external_forces(state)
+                fext, text = ext if ext is not None else (None, None)
+                state2, info = inner(params, state, u, fext=fext, text=text)
                 y2 = maximal_to_minimal(topo, params, state2)
                 return y2, info
 

@@ -45,8 +45,27 @@ class QuadrupedWaypoint(Environment):
             return jnp.zeros(self.mech.input_dim)
         return jnp.concatenate([jnp.zeros(6), jnp.asarray(u)])  # trunk passive
 
+    # waypoint progression: the base advances through the waypoint list,
+    # switching to the next when within `wp_radius` of the current one
+    # (the reference's waypoints are visualization-only,
+    # quadruped_waypoint.jl:77-101; the tracking reward is our RL-facing
+    # extension over the same waypoint list).
+    wp_radius = 0.15
+
+    def reset(self, **kwargs):
+        self.wp_index = 0
+        return super().reset(**kwargs)
+
+    def step(self, y, u=None):
+        y2, r, done, info = super().step(y, u)
+        d = float(jnp.linalg.norm(y2[:2] - self.waypoints[self.wp_index]))
+        if d < self.wp_radius and self.wp_index < len(self.waypoints) - 1:
+            self.wp_index += 1
+        return y2, r, done, info
+
     def reward(self, y, u, y2, info):
-        d = jnp.linalg.norm(y2[:2] - self.waypoints[0])
+        i = getattr(self, "wp_index", 0)
+        d = jnp.linalg.norm(y2[:2] - self.waypoints[i])
         return -d
 
 
@@ -120,6 +139,12 @@ class UUVWaypoint(QuadrotorWaypoint):
 
     model_name = "uuv"
 
+    # buoyancy: constant world-frame up-force (slightly more than weight,
+    # uuv_waypoint.jl:173 buoyancy! — 19.5·9.81 N) applied at a center of
+    # buoyancy 0.2 m above the COM, giving a body-frame righting torque
+    buoyancy_force = 19.5 * 9.81
+    buoyancy_center = (0.0, 0.0, 0.2)
+
     def __init__(self, horizon=100, timestep=0.01, gravity=-9.81, **kw):
         mech = models.get_mechanism("uuv", timestep=timestep, gravity=gravity)
         Environment.__init__(self, mech, horizon, **kw)
@@ -134,6 +159,19 @@ class UUVWaypoint(QuadrotorWaypoint):
             ]
         )
         self._ff, self._tf = 1e-2, 1e-3
+
+    def external_forces(self, state):
+        """Buoyancy on base_link (uuv_waypoint.jl:93,173): fext is the
+        world-frame up-force, text the body-frame torque r_cb × f_body."""
+        base = self.mech.body_index.get("base_link", 0)
+        nb = state.x.shape[0]
+        dtype = state.x.dtype
+        f_world = jnp.asarray([0.0, 0.0, self.buoyancy_force], dtype)
+        f_body = lie.rotate_inv(f_world, state.q[base])
+        t_body = jnp.cross(jnp.asarray(self.buoyancy_center, dtype), f_body)
+        fext = jnp.zeros((nb, 3), dtype).at[base].set(f_world)
+        text = jnp.zeros((nb, 3), dtype).at[base].set(t_body)
+        return fext, text
 
     def wrench_from_rpms(self, rpms, q):
         rpms = jnp.asarray(rpms)

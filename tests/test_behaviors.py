@@ -1,0 +1,133 @@
+"""Behavior tests (reference test/behaviors.jl + joint_limits.jl):
+fourbar loop-closure consistency, joint limits bounce, linear-contact rest,
+mixed contact kinds in one mechanism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dojo_tpu as dt
+from dojo_tpu import models
+from dojo_tpu.core import SolverOptions
+from dojo_tpu.minimal import _joint_slices, maximal_to_minimal
+from dojo_tpu.simulate import make_step
+
+from util import jitted_step, rollout
+
+
+@pytest.mark.slow
+def test_fourbar_loop_closure():
+    """Loop coordinates stay consistent over a driven 2.5 s rollout
+    (reference behaviors.jl:58-80: parallelogram relations to 1e-5)."""
+    mech = models.get_mechanism("fourbar", parse_dampers=False)
+    state = models.initialize(mech, "fourbar", inner_angle=0.25)
+    step = jitted_step(mech, SolverOptions(rtol=1e-8, btol=1e-8))
+    rng = np.random.default_rng(1)
+    slices, _ = _joint_slices(mech.topo)
+    idx = {n: slices[j][0] for n, j in mech.joint_index.items()}
+    nt_b1 = slices[mech.joint_index["jointb1"]][1]
+
+    u = np.zeros((mech.topo.nj, 6))
+    worst = 0.0
+    for k in range(250):
+        # drive the two base cranks with random torque (reference ctrl!)
+        u[:] = 0.0
+        u[mech.joint_index["jointb1"], 3] = 1.0 * rng.random()
+        u[mech.joint_index["joint12"], 3] = -1.0 * rng.random()
+        state, info = step(mech.params, state, jnp.asarray(u))
+        assert bool(info.success), k
+        y = np.asarray(maximal_to_minimal(mech.topo, mech.params, state))
+        th = {n: y[idx[n] + (nt_b1 if n != "joint24" else 0)] for n in idx}
+        th = {n: y[idx[n]] for n in idx}  # all-revolute: angle at offset 0
+        # parallelogram loop relations (behaviors.jl:76-79)
+        worst = max(
+            worst,
+            abs(th["joint24"] - th["joint34"]),
+            abs(th["joint24"] + th["joint12"]),
+            abs(th["joint24"] - (th["jointb1"] - th["jointb3"])),
+        )
+    assert worst < 1e-5, worst
+    assert np.all(np.isfinite(np.asarray(state.pack())))
+
+
+def test_joint_limits_bounce():
+    """A gravity-driven pendulum with rotational limits stays inside them
+    and actually reaches the lower limit (reference test/joint_limits.jl)."""
+    lim = 0.2
+    bodies = [dt.box_body("rod", 0.05, 0.05, 1.0, 1.0)]
+    joints = [
+        dt.JointDef(kind="revolute", parent="origin", child="rod",
+                    axis=[0, 1, 0], child_vertex=[0, 0, 0.5],
+                    rot_limits=([-lim], [lim]), name="pivot"),
+    ]
+    mech = dt.build(bodies, joints, [], timestep=0.01)
+    # start inside the limits with enough speed that the free swing would
+    # pass −0.2 by a wide margin — the lower stop must engage
+    state = mech.maximal_state(jnp.asarray([0.1, -2.0]))
+    step = jitted_step(mech, SolverOptions(rtol=1e-8, btol=1e-8))
+    angles = []
+    for k in range(150):
+        state, info = step(mech.params, state, None)
+        assert bool(info.success), k
+        y = np.asarray(maximal_to_minimal(mech.topo, mech.params, state))
+        angles.append(y[0])
+    angles = np.asarray(angles)
+    assert angles.min() >= -lim - 1e-3, angles.min()
+    assert angles.max() <= lim + 1e-3, angles.max()
+    # the swing actually engages the lower stop
+    assert angles.min() < -lim + 2e-2, angles.min()
+
+
+def test_linear_contact_rest():
+    """Block dropped on linear (pyramidal) friction cone rests at the
+    correct height (reference behaviors.jl box-toss oracle, linear.jl)."""
+    mech = models.get_mechanism(
+        "block", contact_type="linear", edge_length=0.5,
+        friction_coefficient=0.8,
+    )
+    state = models.initialize(
+        mech, "block", position=(0, 0, 1.0), velocity=(0.5, 0.3, 0.0),
+        angular_velocity=(0.1, -0.2, 0.3),
+    )
+    # btol=1e-6 as the reference rest oracle (behaviors.jl:21-40) — at
+    # btol=1e-4 the relaxed cone slack leaves the block ~1e-3 high
+    opts = SolverOptions(rtol=1e-6, btol=1e-6)
+    final, tr = rollout(mech, state, 150, opts=opts)
+    z = float(np.asarray(final.x)[0, 2])
+    assert abs(z - 0.25) < 1e-3, z
+    assert float(jnp.abs(final.v).max()) < 1e-4
+    assert tr["success"].mean() > 0.95
+
+
+def test_mixed_contact_kinds():
+    """One mechanism mixing nonlinear + impact + linear contacts simulates
+    (reference freely mixes kinds, contacts/constructor.jl:66-105)."""
+    bodies = [
+        dt.sphere_body("s1", 0.1, 1.0),
+        dt.sphere_body("s2", 0.1, 1.0),
+        dt.sphere_body("s3", 0.1, 1.0),
+    ]
+    joints = [
+        dt.JointDef(kind="floating", parent="origin", child=n)
+        for n in ("s1", "s2", "s3")
+    ]
+    contacts = [
+        dt.ContactDef(body="s1", kind="nonlinear", radius=0.1, friction=0.5),
+        dt.ContactDef(body="s2", kind="impact", radius=0.1),
+        dt.ContactDef(body="s3", kind="linear", radius=0.1, friction=0.5),
+    ]
+    mech = dt.build(bodies, joints, contacts, timestep=0.01)
+    x = np.zeros((3, 3))
+    x[:, 2] = 0.5
+    x[1, 0], x[2, 0] = 2.0, 4.0  # spread out horizontally
+    state = dt.BodyState(
+        x=jnp.asarray(x),
+        q=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (3, 1)),
+        v=jnp.zeros((3, 3)),
+        w=jnp.zeros((3, 3)),
+    )
+    final, tr = rollout(mech, state, 120, opts=SolverOptions(rtol=1e-6, btol=1e-4))
+    z = np.asarray(final.x)[:, 2]
+    np.testing.assert_allclose(z, 0.1, atol=1e-3)  # all rest at radius
+    assert tr["success"].mean() > 0.95

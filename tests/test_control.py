@@ -1,0 +1,84 @@
+"""Control-layer parity tests: cartpole LQR (reference
+examples/control/cartpole_lqr.jl) and cartpole iLQR swing-up through the
+IFT-differentiable dynamics (the MPC stack's core path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dojo_tpu import models
+from dojo_tpu.core import SolverOptions
+
+
+@pytest.mark.slow
+def test_cartpole_lqr_stabilizes():
+    """Discrete LQR from the IFT linearization at the origin stabilizes the
+    cartpole from orientation π/4 (the reference example's scenario)."""
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from cartpole_lqr import main
+
+    ys, K = main(horizon=600)
+    # the pole is captured upright and the trajectory stays bounded (the
+    # cart mode with Q=I, R=I settles on a ~10 s timescale, as in the
+    # reference's 10 s rollout)
+    tail = ys[-50:]
+    assert np.abs(tail[:, 2]).max() < 5e-2, np.abs(tail[:, 2]).max()
+    assert np.abs(ys[:, 0]).max() < 1.5, np.abs(ys[:, 0]).max()
+    assert np.isfinite(K).all()
+    # closed loop is strictly stable: ρ(A − B K) < 1 for the IFT-linearized
+    # discrete dynamics (the LQR-parity property itself)
+    import jax
+    import jax.numpy as jnp
+
+    from dojo_tpu.gradients import minimal_jacobians
+    from dojo_tpu import models as _models
+
+    mech = _models.get_mechanism("cartpole", timestep=0.01)
+    A, B = jax.jit(minimal_jacobians(mech.topo, SolverOptions(rtol=1e-10, btol=1e-10)))(
+        mech.params, jnp.zeros(4), jnp.zeros(mech.input_dim)
+    )
+    Acl = np.asarray(A) - np.asarray(B)[:, :1] @ K
+    rho = np.abs(np.linalg.eigvals(Acl)).max()
+    assert rho < 1.0 - 1e-4, rho
+
+
+@pytest.mark.slow
+def test_cartpole_ilqr_improves_cost():
+    """iLQR through contact-free IFT dynamics reduces the tracking cost
+    (mpc/ilqr.py core path, incl. shared-factorization linearize and the
+    parallel Riccati backward)."""
+    from dojo_tpu.mpc import ILQRConfig, QuadCost, make_ilqr
+
+    mech = models.get_mechanism("cartpole", timestep=0.02)
+    ny, nu = mech.minimal_dim, mech.input_dim
+    cost = QuadCost(
+        Q=jnp.asarray([1.0, 0.1, 5.0, 0.1]),
+        R=jnp.full((nu,), 1e-3),
+        Qf=jnp.asarray([10.0, 1.0, 50.0, 1.0]),
+        y_goal=jnp.zeros(ny),
+    )
+    opts = SolverOptions(rtol=1e-8, btol=1e-8, max_iter=10)
+    H = 30
+    y0 = jnp.asarray([0.0, 0.0, 0.7, 0.0])  # pole displaced 0.7 rad
+
+    for parallel in (False, True):
+        ilqr = make_ilqr(
+            mech.topo, cost, H,
+            config=ILQRConfig(iterations=4, alphas=(1.0, 0.5, 0.1),
+                              parallel_riccati=parallel),
+            opts=opts,
+        )
+        us0 = jnp.zeros((H, nu))
+        us, ys, c, okf = jax.jit(ilqr)(mech.params, y0, us0)
+        # cost of doing nothing
+        _, _, c0, _ = jax.jit(
+            make_ilqr(mech.topo, cost, H,
+                      config=ILQRConfig(iterations=0), opts=opts)
+        )(mech.params, y0, us0)
+        assert float(c) < 0.5 * float(c0), (parallel, float(c), float(c0))
+        assert float(okf) > 0.99
+        # terminal pole angle pulled toward upright
+        assert abs(float(ys[-1][2])) < abs(float(y0[2])), parallel

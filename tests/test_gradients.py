@@ -152,3 +152,24 @@ def test_maximal_jacobians_attjac():
         Gout = np.asarray(attitude_jacobian(jnp.asarray(z2), nb))
         fd_att = Gout.T @ fd13
         np.testing.assert_allclose(np.asarray(A)[:, i], fd_att, atol=2e-5)
+
+
+def test_rollout_linearize_ldu_vs_dense():
+    """make_rollout_linearize_minimal: the graph-LDU linearization path
+    (shared factorization across tangent columns) matches the dense-LU
+    path exactly at float64."""
+    from dojo_tpu.gradients import make_rollout_linearize_minimal
+
+    mech = models.get_mechanism("pendulum", timestep=0.01)
+    step_w, lin_ldu, _ = make_rollout_linearize_minimal(mech.topo, TIGHT)
+    _, lin_dense, _ = make_rollout_linearize_minimal(
+        mech.topo, TIGHT, linsolve="dense"
+    )
+    y = jnp.asarray([0.6, 0.3])
+    u = jnp.zeros(mech.input_dim)
+    y2, w, mu, ok = jax.jit(step_w)(mech.params, y, u)
+    assert bool(ok)
+    A1, B1 = jax.jit(lin_ldu)(mech.params, y, u, w, mu)
+    A2, B2 = jax.jit(lin_dense)(mech.params, y, u, w, mu)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(B1), np.asarray(B2), atol=1e-9)

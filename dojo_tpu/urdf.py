@@ -102,6 +102,20 @@ def _material_color(vis, root):
     return [float(v) for v in rgba[:4]]
 
 
+_ASSETS = os.path.join(os.path.dirname(__file__), "assets")
+
+
+def _resolve_mesh(filename):
+    """URDF mesh filenames ("mesh/head.obj", "package://...") resolve by
+    basename against the bundled asset store (assets/mesh/); basenames are
+    unique across the zoo.  Unresolvable files keep the raw name so the
+    visualizer can fall back to a frame marker."""
+    if not filename:
+        return filename
+    p = os.path.join(_ASSETS, "mesh", os.path.basename(filename))
+    return p if os.path.exists(p) else filename
+
+
 def _shape_of(link, xi, qi, root):
     """All <visual> geometries of a link, with offsets expressed in the BODY
     (inertial) frame and material colors (urdf.jl parse_links:171-212).
@@ -129,7 +143,7 @@ def _shape_of(link, xi, qi, root):
             elif tag == "box":
                 d["size"] = np.fromstring(g.get("size", "1 1 1"), sep=" ")
             elif tag == "mesh":
-                d["path"] = g.get("filename")
+                d["path"] = _resolve_mesh(g.get("filename"))
                 if g.get("scale"):
                     d["scale"] = np.fromstring(g.get("scale"), sep=" ")
             break

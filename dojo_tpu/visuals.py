@@ -10,8 +10,33 @@ Julia/MeshCat stack.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
+
+
+def _load_obj(path, scale=None):
+    """Minimal OBJ loader: vertex positions + fan-triangulated faces.
+    Returns (flat positions [x0,y0,z0,x1,...], flat triangle indices) for a
+    three.js BufferGeometry (normals recomputed client-side).  Reference
+    analog: convert_shape(Mesh) → MeshFileGeometry (visualizer.jl:130-216)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                verts.append((float(p[1]), float(p[2]), float(p[3])))
+            elif line.startswith("f "):
+                idx = []
+                for tok in line.split()[1:]:
+                    i = int(tok.split("/")[0])
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for k in range(1, len(idx) - 1):
+                    faces.extend((idx[0], idx[k], idx[k + 1]))
+    v = np.asarray(verts, dtype=np.float64)
+    if scale is not None:
+        v = v * np.asarray(scale, dtype=np.float64)
+    return np.round(v, 5).ravel().tolist(), faces
 
 _TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>dojo_tpu — {title}</title>
@@ -42,7 +67,10 @@ const controls = new OrbitControls(camera, renderer.domElement);
 scene.add(new THREE.HemisphereLight(0xffffff, 0x445566, 1.1));
 const dl = new THREE.DirectionalLight(0xffffff, 1.2); dl.position.set(3,2,5); scene.add(dl);
 const grid = new THREE.GridHelper(10, 20, 0x888888, 0x444444);
-grid.rotation.x = Math.PI/2; scene.add(grid);
+grid.rotation.x = Math.PI/2; grid.position.z = 0.001; scene.add(grid);
+const floor = new THREE.Mesh(new THREE.PlaneGeometry(10,10),
+  new THREE.MeshStandardMaterial({{color:0x30343e, roughness:0.9}}));
+scene.add(floor);
 const mat = (i,s) => new THREE.MeshStandardMaterial({{
   color: s.color ? new THREE.Color(s.color[0],s.color[1],s.color[2])
                  : new THREE.Color().setHSL((i*0.13)%1, 0.55, 0.55),
@@ -54,6 +82,9 @@ function geomOf(s){{
   if (s.type==='capsule'){{ const g=new THREE.CapsuleGeometry(s.rh[0],s.rh[1],6,16); g.rotateX(Math.PI/2); return g; }}
   if (s.type==='sphere') return new THREE.SphereGeometry(s.r,24,16);
   if (s.type==='pyramid'){{ const g=new THREE.ConeGeometry(s.wh[0]/Math.SQRT2,s.wh[1],4); g.rotateX(Math.PI/2); g.rotateZ(Math.PI/4); g.translate(0,0,s.wh[1]/4); return g; }}
+  if (s.type==='mesh'){{ const g=new THREE.BufferGeometry();
+    g.setAttribute('position', new THREE.Float32BufferAttribute(s.v,3));
+    g.setIndex(s.f); g.computeVertexNormals(); return g; }}
   return new THREE.SphereGeometry(0.03,12,8);
 }}
 function subMesh(s,i){{
@@ -111,8 +142,12 @@ def _shape_json(shape):
         out = {"type": "sphere", "r": float(shape.get("r", shape.get("radius", 0.05)))}
     elif t == "pyramid":
         out = {"type": "pyramid", "wh": list(map(float, shape["wh"]))}
+    elif t == "mesh" and shape.get("path") and os.path.exists(shape["path"]) \
+            and shape["path"].lower().endswith(".obj"):
+        v, f = _load_obj(shape["path"], shape.get("scale"))
+        out = {"type": "mesh", "v": v, "f": f}
     else:
-        out = {"type": "marker"}  # mesh files render as frame markers
+        out = {"type": "marker"}  # unresolvable mesh formats → frame marker
     if shape.get("position_offset") is not None:
         out["off_x"] = [float(v) for v in shape["position_offset"]]
     if shape.get("orientation_offset") is not None:

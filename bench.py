@@ -25,9 +25,23 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache():
+    """Persistent XLA cache for relay/TPU runs (NOT shared with the local
+    CPU test cache — relay-compiled CPU AOT blobs segfault this host)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from dojo_tpu import models
     from dojo_tpu.core import SolverOptions
@@ -53,7 +67,9 @@ def main():
     ny = mech.topo.minimal_dim
 
     spec = TrotSpec()
-    mpc_opts = SolverOptions(rtol=1e-4, btol=1e-3, max_iter=12)
+    # rescue=False: failures are data for the controller (BASELINE.md) —
+    # halves the compiled program vs the dense-rescue second pass
+    mpc_opts = SolverOptions(rtol=1e-4, btol=1e-3, max_iter=12, rescue=False)
     mpc, ref_fn = make_trot_mpc(
         mech, horizon=H, spec=spec,
         config=ILQRConfig(iterations=ITERS, alphas=(1.0, 0.5)),
@@ -166,6 +182,8 @@ def fallback_steps_bench():
     always records ONE JSON line."""
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from dojo_tpu import models
     from dojo_tpu.core import SolverOptions

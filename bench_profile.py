@@ -26,6 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _timeit(fn, *args, reps=20):
     out = fn(*args)
@@ -88,13 +91,19 @@ def main():
         f_solve = jax.jit(jax.vmap(lambda bl, fb, lu, ps, r:
                                    ldu_solve((fb, lu, ps), r)))
         rhs = jax.block_until_ready(f_res(w0, ctx, mu))
-        f_step = jax.jit(jax.vmap(lambda s: step(params, s)[1].iterations))
+        f_step = jax.jit(
+            jax.vmap(lambda s: (step(params, s)[1].iterations,
+                                step(params, s)[1].rescued))
+        )
 
         t_res = _timeit(f_res, w0, ctx, mu)
         t_asm = _timeit(f_asm, w0, ctx, mu)
         t_fact = _timeit(f_fact, blocks)
         t_solve = _timeit(f_solve, blocks, *fact, rhs)
         t_step = _timeit(f_step, batst, reps=3)
+        iters, resc = f_step(batst)
+        mean_iters = float(np.mean(np.asarray(iters)))
+        rescue_rate = float(np.mean(np.asarray(resc)))
 
     # ---- speed-of-light estimates --------------------------------------
     S, W = sched.rows.shape[0], sched.width
@@ -123,6 +132,9 @@ def main():
         "batch": B,
         "backend": jax.default_backend(),
         "schedule": {"slots": int(S), "width": int(W), "dim": int(D)},
+        # VERDICT r1: prove the dense-rescue pass "almost never fires"
+        "mean_iterations": round(mean_iters, 2),
+        "rescue_rate": round(rescue_rate, 5),
     }
     print(f"{'phase':24s} {'ms':>9s} {'SOL ms':>9s} {'SOL %':>7s}")
     for name, t, sol in rows:

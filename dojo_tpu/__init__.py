@@ -20,6 +20,7 @@ from . import (
     visuals,
 )
 from .gradients import (
+    finite_difference_jacobian,
     make_diff_step,
     make_diff_step_minimal,
     make_rollout_linearize_minimal,

@@ -519,6 +519,52 @@ class Mechanism:
         )
         return self.params
 
+    # -- flat data vector (reference data.jl get_data/set_data!) ------------
+    # The reference's data vector interleaves per-node [u, spring, damper],
+    # body [m, J, v15, ω15, x2, q2], contact [friction, radius, origin]
+    # (data.jl:6-195) because its gradients need one vector to differentiate
+    # against.  Here gradients flow through (params, state, u) pytrees
+    # directly, so the data vector is the *parameter* portion only: a
+    # deterministic raveling of the physical Params fields, used for sysid
+    # over all parameters at once and for flat checkpoint/export.
+    _DATA_FIELDS = (
+        "mass", "inertia",
+        "tra_spring", "tra_damper", "tra_vertex_parent", "tra_vertex_child",
+        "tra_spring_offset", "rot_spring", "rot_damper", "rot_offset",
+        "rot_spring_offset",
+        "contact_friction", "contact_radius", "contact_origin",
+        "contact_offset", "contact_child_origin", "contact_child_radius",
+        "contact_aux", "gravity", "timestep",
+    )
+
+    def get_data(self, params=None):
+        """Flat vector of all physical parameters (masses, inertias, joint
+        springs/dampers/vertices/offsets, contact geometry/friction, gravity,
+        timestep) in `_DATA_FIELDS` order."""
+        p = self.params if params is None else params
+        return jnp.concatenate(
+            [jnp.ravel(getattr(p, f)) for f in self._DATA_FIELDS]
+        )
+
+    def with_data(self, vec, params=None):
+        """Functional inverse of get_data: Params with the flat vector
+        scattered back into the physical fields (jit/grad-safe — use inside
+        a loss for whole-vector system identification)."""
+        p = self.params if params is None else params
+        out, i = {}, 0
+        for f in self._DATA_FIELDS:
+            a = getattr(p, f)
+            n = int(np.prod(a.shape)) if a.shape else 1
+            out[f] = jnp.reshape(vec[i : i + n], a.shape).astype(a.dtype)
+            i += n
+        return p._replace(**out)
+
+    def set_data(self, vec):
+        """In-place variant (reference set_data!): stores and returns the
+        updated Params."""
+        self.params = self.with_data(vec)
+        return self.params
+
     def minimal_state(self, state):
         from .minimal import maximal_to_minimal
 

@@ -283,3 +283,22 @@ def maximal_jacobians_attjac(topo: Topology, opts: SolverOptions = SolverOptions
         return Gout.T @ fz @ Gin, Gout.T @ fu
 
     return jac
+
+
+def finite_difference_jacobian(f, x, eps=1e-6):
+    """Central-difference Jacobian of ``f`` at ``x`` — the verification tool
+    the reference ships as src/gradients/finite_difference.jl (its tests
+    check every analytic Jacobian against FD; ours do the same against the
+    IFT/AD path).  Returns columns (f(x+εeᵢ) − f(x−εeᵢ)) / 2ε as an
+    (out_dim, x.size) ndarray; runs f 2·size times on host."""
+    import numpy as _np
+
+    x = _np.asarray(x, dtype=_np.float64)
+    cols = []
+    for i in range(x.size):
+        dx = _np.zeros_like(x)
+        dx.flat[i] = eps
+        fp = _np.asarray(f(x + dx.reshape(x.shape)), dtype=_np.float64)
+        fm = _np.asarray(f(x - dx.reshape(x.shape)), dtype=_np.float64)
+        cols.append((fp - fm) / (2 * eps))
+    return _np.stack(cols, axis=-1)

@@ -312,12 +312,18 @@ def initialize_humanoid(mech, body_position=(0, 0, 1.33), body_orientation_rv=(0
 
 @register("atlas")
 def get_atlas(
-    timestep=0.01, gravity=-9.81, urdf="atlas_simple", parse_dampers=True,
+    timestep=0.01, gravity=-9.81, urdf="atlas_simple", springs=0.0,
+    dampers=0.0, parse_springs=True, parse_dampers=True,
     friction_coefficient=0.8, contact_feet=True,
 ):
     bodies, joints = parse_urdf_defs(
         os.path.join(ASSETS, f"{urdf}.urdf"), floating=True,
         parse_dampers=parse_dampers,
+    )
+    apply_zoo_options(
+        joints,
+        springs=None if parse_springs else springs,
+        dampers=None if parse_dampers else dampers,
     )
     contacts = []
     if contact_feet:

@@ -380,7 +380,9 @@ def apply_zoo_options(jointdefs, springs=None, dampers=None, joint_limits=None,
     """Post-parse customization mirroring the zoo's set_springs!/set_dampers!/
     set_limits/spring_offset idiom (DojoEnvironments/src/utilities.jl)."""
     for jd in jointdefs:
-        if springs is not None:
+        # the reference skips the floating base for BOTH springs and
+        # dampers (utilities.jl set_springs!/set_dampers! `Nλ==0 continue`)
+        if springs is not None and jd.kind != "floating":
             jd.spring = float(springs)
         if dampers is not None and jd.kind != "floating":
             jd.damper = float(dampers)

@@ -19,5 +19,9 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache")
+# NOTE: tests must NOT share a compile cache with relay/driver runs — the
+# axon relay AOT-compiles CPU executables for ITS machine (avx512+amx);
+# loading those here warns "could lead to execution errors such as SIGILL"
+# and the full suite has segfaulted doing so.  Local-only cache:
+jax.config.update("jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache_local")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

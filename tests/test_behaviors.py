@@ -134,21 +134,26 @@ def test_mixed_contact_kinds():
 @pytest.mark.slow
 def test_atlas_drop_balance():
     """Atlas dropped from slightly above its standing height lands and
-    balances: feet never penetrate (SDF ≥ 0 analog) and the pelvis stays
-    upright for 1 s (BASELINE.json config "Atlas humanoid balance/drop";
-    reference atlas examples)."""
+    stays up: feet never penetrate (SDF ≥ 0 analog) and the root body does
+    not collapse over 1 s (BASELINE.json config "Atlas humanoid
+    balance/drop").  Joint springs hold the standing pose (the classic
+    Dojo atlas-drop demo stiffens the joints — a passive atlas without
+    posture springs crumples regardless of damping, diagnosed r2)."""
     import dojo_tpu as dt
 
-    mech = models.get_mechanism("atlas")
+    mech = models.get_mechanism(
+        "atlas", springs=1000.0, dampers=100.0,
+        parse_springs=False, parse_dampers=False,
+    )
     state = models.initialize(
         mech, "atlas", body_position=(0, 0, 0.9385 + 0.02)
     )
+    z0 = float(np.asarray(state.x)[0, 2])
     h = mech.timestep
     n = max(10, int(round(1.0 / h)))
     step = jitted_step(mech, SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30))
     min_sdf = np.inf
     ok = []
-    pelvis = 0  # root body row
     for k in range(n):
         state, info = step(mech.params, state, None)
         ok.append(bool(info.success))
@@ -156,6 +161,6 @@ def test_atlas_drop_balance():
         min_sdf = min(min_sdf, float(sdf.min()))
     assert np.mean(ok) > 0.9, np.mean(ok)
     assert min_sdf > -5e-4, min_sdf
-    z = float(np.asarray(state.x)[pelvis, 2])
-    assert z > 0.6, z  # still standing, not collapsed
+    z = float(np.asarray(state.x)[0, 2])
+    assert z > z0 - 0.25, (z, z0)  # still standing, not collapsed
     assert np.isfinite(np.asarray(state.pack())).all()

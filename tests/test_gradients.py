@@ -173,3 +173,35 @@ def test_rollout_linearize_ldu_vs_dense():
     A2, B2 = jax.jit(lin_dense)(mech.params, y, u, w, mu)
     np.testing.assert_allclose(np.asarray(A1), np.asarray(A2), atol=1e-9)
     np.testing.assert_allclose(np.asarray(B1), np.asarray(B2), atol=1e-9)
+
+
+def test_data_vector_roundtrip_and_grad():
+    """Mechanism.get_data/with_data (reference data.jl get_data/set_data!):
+    exact round trip, and gradients of a rollout loss flow through the whole
+    flat parameter vector (mass entry FD-checked)."""
+    mech, step = pendulum_step()
+    vec = mech.get_data()
+    p2 = mech.with_data(vec)
+    for f in mech._DATA_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(p2, f)), np.asarray(getattr(mech.params, f)), f
+        )
+
+    y0 = jnp.asarray([0.6, 0.2])
+    u = jnp.asarray([0.3])
+
+    def loss(v):
+        p = mech.with_data(v)
+        y = y0
+        for _ in range(3):
+            y = step(p, y, u)
+        return jnp.sum(y**2)
+
+    g = np.asarray(jax.grad(loss)(vec))
+    assert np.isfinite(g).all()
+    # FD check on the mass coordinate (index 0 in _DATA_FIELDS order)
+    eps = 1e-6
+    e = np.zeros(vec.shape)
+    e[0] = eps
+    fd = (float(loss(vec + e)) - float(loss(vec - e))) / (2 * eps)
+    np.testing.assert_allclose(g[0], fd, rtol=1e-5, atol=1e-8)

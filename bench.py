@@ -31,7 +31,10 @@ def _enable_compile_cache():
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache")
+        if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            jax.config.update(
+                "jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache"
+            )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -25,3 +25,21 @@ jax.config.update("jax_enable_x64", True)
 # and the full suite has segfaulted doing so.  Local-only cache:
 jax.config.update("jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache_local")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# XLA:CPU has crashed (SIGSEGV/SIGABRT, 4 distinct runs) compiling or
+# deserializing an executable ~33 modules into a full-suite process, while
+# every module passes in isolation and in sub-suite bisects — cumulative
+# compiled-executable state in one process is the trigger.  Dropping the
+# jit caches between test modules releases the executables; the persistent
+# compile cache turns any re-trace into a cheap deserialize.
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -61,6 +61,7 @@ class QuadrupedWaypoint(Environment):
         d = float(jnp.linalg.norm(y2[:2] - self.waypoints[self.wp_index]))
         if d < self.wp_radius and self.wp_index < len(self.waypoints) - 1:
             self.wp_index += 1
+            r = self.reward(y, u, y2, info)  # track the new target
         return y2, r, done, info
 
     def reward(self, y, u, y2, info):

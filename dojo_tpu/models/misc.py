@@ -134,8 +134,12 @@ def get_uuv(
     timestep=0.01, gravity=0.0, urdf="mini_tortuga_fixed_rotors",
     parse_dampers=True, friction_coefficient=0.5, contact_body=True,
 ):
+    # the mini_tortuga URDFs declare an explicit `origin` link and a
+    # `floating_base` floating joint, so the mechanism is parsed with
+    # floating=False (reference uuv/mechanism.jl:18) — floating=True would
+    # add a second free base and orphan the real one.
     bodies, joints = parse_urdf_defs(
-        os.path.join(ASSETS, f"{urdf}.urdf"), floating=True,
+        os.path.join(ASSETS, f"{urdf}.urdf"), floating=False,
         parse_dampers=parse_dampers,
     )
     contacts = []

@@ -99,6 +99,12 @@ const meshes = DATA.shapes.map((s,i)=>{{
   for (const sub of subs) grp.add(subMesh(sub,i));
   scene.add(grp); return grp;
 }});
+for (const c of (DATA.contacts||[])) {{
+  const m = new THREE.Mesh(new THREE.SphereGeometry(c.r,12,8),
+    new THREE.MeshStandardMaterial({{color:0xff7043, transparent:true, opacity:0.6}}));
+  m.position.set(c.off[0],c.off[1],c.off[2]);
+  meshes[c.body].add(m);
+}}
 let t=0, playing=true; const T=DATA.x.length;
 const bar=document.getElementById('bar');
 addEventListener('keydown',e=>{{if(e.code==='Space'){{playing=!playing;e.preventDefault();}}}});
@@ -157,17 +163,31 @@ def _shape_json(shape):
     return out
 
 
-def visualize(mech, xs, qs, path="trajectory.html", title=None, stride=1):
+def visualize(mech, xs, qs, path="trajectory.html", title=None, stride=1,
+              contact_spheres=True):
     """Write a standalone HTML player for a trajectory.
 
     xs: (T, nb, 3) positions;  qs: (T, nb, 4) quaternions [w,x,y,z]
     (e.g. Trajectory.x / Trajectory.q or stacked rollout records).
+    contact_spheres: draw each contact's sphere at its body-frame origin
+    (reference build_robot contact spheres, visualizer.jl:176-216).
     """
     xs = np.asarray(xs)[::stride]
     qs = np.asarray(qs)[::stride]
+    contacts = []
+    if contact_spheres and getattr(mech.topo, "nc", 0):
+        origins = np.asarray(mech.params.contact_origin)
+        radii = np.asarray(mech.params.contact_radius)
+        for c, b in enumerate(mech.topo.contact_parent):
+            contacts.append({
+                "body": int(b),
+                "off": [float(v) for v in origins[c]],
+                "r": max(float(radii[c]), 1e-3),
+            })
     data = {
         "h": float(mech.params.timestep) * stride,
         "shapes": [_shape_json(s) for s in mech.body_shapes],
+        "contacts": contacts,
         "x": np.round(xs, 5).tolist(),
         "q": np.round(qs, 5).tolist(),
     }

@@ -45,11 +45,15 @@ class CartpoleDQN(Environment):
         u = jnp.atleast_1d(jnp.asarray(u))
         return jnp.concatenate([u[:1], jnp.zeros(1)])
 
+    # minimal layout: [x, ẋ, θ, θ̇] (prismatic then revolute sub-vectors)
     def reward(self, y, u, y2, info):
-        return jnp.asarray(1.0) - 0.1 * y2[1] ** 2
+        # reference DQN example: 1 per step while alive
+        # (examples/learning/cartpole_dqn.jl:123)
+        return jnp.asarray(1.0)
 
     def is_done(self, y):
-        return jnp.abs(y[1]) > 0.5  # pole angle past threshold
+        # cart past ±2.4 m or pole past ±12° (cartpole_dqn.jl:183-184)
+        return (jnp.abs(y[0]) > 2.4) | (jnp.abs(y[2]) > 12 * jnp.pi / 180)
 
 
 class AntARS(Environment):

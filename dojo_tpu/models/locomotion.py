@@ -159,10 +159,14 @@ def get_halfcheetah(
 
 @register_init("halfcheetah")
 def initialize_halfcheetah(mech, body_position=(0.0, 0.0), body_orientation=0.0):
+    # planaraxis (axis Y) nullspace basis rows are (+Z, −X), so the HEIGHT
+    # goes in the FIRST minimal slot (reference halfcheetah/mechanism.jl:97-98,
+    # incl. the 0.02792 rad torso pitch of the rest pose)
     def edit(y):
         _set_minimal(
             mech, y, "floating_joint",
-            [body_position[0], body_position[1] + 0.576509, -body_orientation],
+            [body_position[0] + 0.576509, body_position[1],
+             body_orientation + 0.02792],
         )
 
     return _init_from_y(mech, edit)
@@ -218,10 +222,12 @@ def get_walker(
 
 @register_init("walker")
 def initialize_walker(mech, body_position=(0.0, 0.0), body_orientation=0.0):
+    # height in the FIRST planar slot (see halfcheetah note;
+    # reference walker/mechanism.jl:90-91)
     def edit(y):
         _set_minimal(
             mech, y, "floating_joint",
-            [body_position[0], body_position[1] + 1.25, body_orientation],
+            [body_position[0] + 1.25, body_position[1], body_orientation],
         )
 
     return _init_from_y(mech, edit)

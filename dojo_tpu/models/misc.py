@@ -79,9 +79,16 @@ def get_block2d(
 @register_init("block2d")
 def initialize_block2d(mech, position=(0.0, 1.0), orientation=0.0,
                        velocity=(0.0, 0.0), angular_velocity=0.0):
+    # reference initialize_block2d! lifts the center by half-edge + contact
+    # radius so position=[0,0] rests exactly on the floor (mechanism.jl:67-86)
+    i = mech.body_index["block"]
+    shape = mech.body_shapes[i] or {}
+    edge = (shape.get("xyz") or [0.5] * 3)[2] / 2
+    radius = float(np.asarray(mech.params.contact_radius)[0]) if mech.topo.nc else 0.0
+
     def edit(y):
         _set_minimal(mech, y, "joint",
-                     [position[0], position[1], orientation])
+                     [position[0], position[1] + edge + radius, orientation])
         y[3:6] = [velocity[0], velocity[1], angular_velocity]
 
     return _init_from_y(mech, edit)

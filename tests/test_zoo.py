@@ -75,4 +75,15 @@ def test_short_rollout(name):
 @pytest.mark.slow
 @pytest.mark.parametrize("name", HEAVY)
 def test_short_rollout_heavy(name):
-    _simulate_half_second(name)
+    # XLA:CPU segfaults once too many compiled executables are resident in
+    # one process (see tests/conftest.py); this module alone compiles 26
+    # rollouts, so drop the jit caches after every heavy one — the
+    # persistent compile cache makes any re-trace a cheap deserialize.
+    try:
+        _simulate_half_second(name)
+    finally:
+        import gc
+        import jax
+
+        jax.clear_caches()
+        gc.collect()

@@ -11,10 +11,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import lie
+from . import lie, nplie
 from .core import CONTACT_WIDTH, BodyState, Params, Topology
 
 # joint kind → (Nλ_tra, Nλ_rot); complement of prototypes.jl
@@ -183,7 +184,7 @@ def reduce_fixed_joints(bodies, joints, contacts=()):
     contacts = [copy.deepcopy(c) for c in contacts]
 
     def rmat(q):
-        return np.asarray(lie.rotation_matrix(jnp.asarray(q, jnp.float64)))
+        return nplie.rotation_matrix(q)
 
     def kmat(d):
         d = np.asarray(d, dtype=np.float64)
@@ -232,11 +233,8 @@ def reduce_fixed_joints(bodies, joints, contacts=()):
                 if jd.rot_axis is None:
                     jd.rot_axis = np.asarray(jd.axis, dtype=np.float64)
                 jd.axis = R @ np.asarray(jd.axis, dtype=np.float64)
-                jd.orientation_offset = np.asarray(
-                    lie.qmul(
-                        jnp.asarray(off, jnp.float64),
-                        jnp.asarray(jd.orientation_offset, jnp.float64),
-                    )
+                jd.orientation_offset = nplie.qmul(
+                    off, np.asarray(jd.orientation_offset, np.float64)
                 )
             elif jd.child == c.name:
                 jd.child = p.name
@@ -250,11 +248,9 @@ def reduce_fixed_joints(bodies, joints, contacts=()):
                     jd.axis if jd.rot_axis is None else jd.rot_axis,
                     dtype=np.float64,
                 )
-                jd.orientation_offset = np.asarray(
-                    lie.qmul(
-                        jnp.asarray(jd.orientation_offset, jnp.float64),
-                        lie.qconj(jnp.asarray(off, jnp.float64)),
-                    )
+                jd.orientation_offset = nplie.qmul(
+                    np.asarray(jd.orientation_offset, np.float64),
+                    nplie.qconj(off),
                 )
         for cd in contacts:
             if cd.body == p.name:
@@ -336,7 +332,7 @@ def set_floating_base(bodies, joints, name):
             jd.child = name
             continue
         off = np.asarray(jd.orientation_offset, np.float64)
-        R = np.asarray(lie.rotation_matrix(jnp.asarray(off)))
+        R = nplie.rotation_matrix(off)
         jd.parent, jd.child = jd.child, jd.parent
         jd.parent_vertex, jd.child_vertex = (
             np.asarray(jd.child_vertex, np.float64),
@@ -354,9 +350,7 @@ def set_floating_base(bodies, joints, name):
         )
         jd.rot_axis = -R @ a_rot
         jd.axis = -R.T @ np.asarray(jd.axis, np.float64)
-        jd.orientation_offset = np.asarray(
-            lie.qconj(jnp.asarray(off))
-        )
+        jd.orientation_offset = nplie.qconj(off)
     return bodies, joints
 
 
@@ -583,34 +577,51 @@ class Mechanism:
             self.topo, self.params, state, j, coords, velocities
         )
 
+    def cast(self, dtype) -> "Mechanism":
+        """Cast floating-point params to ``dtype`` host-side and re-upload
+        the whole pytree in ONE batched device_put (a per-leaf tree-map of
+        .astype would be ~40 eager device ops — multi-second round trips
+        each on a TPU relay).  Mutates and returns self."""
+        np_p = getattr(self, "_np_params", None)
+        if np_p is None:
+            np_p = jax.tree.map(np.asarray, self.params)
+        np_p = jax.tree.map(
+            lambda a: a.astype(dtype)
+            if np.issubdtype(a.dtype, np.floating)
+            else a,
+            np_p,
+        )
+        self._np_params = np_p
+        self.params = jax.device_put(np_p)
+        return self
+
     def zero_state(self) -> BodyState:
         """Zero-coordinate forward-kinematics placement
         (reference zero_coordinates!, mechanism/set.jl:94-107)."""
         nb = self.topo.nb
         x = np.zeros((nb, 3))
         q = np.tile(np.array([1.0, 0, 0, 0]), (nb, 1))
-        pv = np.asarray(self.params.tra_vertex_parent)
-        cv = np.asarray(self.params.tra_vertex_child)
-        off = np.asarray(self.params.rot_offset)
+        src = getattr(self, "_np_params", self.params)
+        pv = np.asarray(src.tra_vertex_parent)
+        cv = np.asarray(src.tra_vertex_child)
+        off = np.asarray(src.rot_offset)
         for j in self.topo.root_to_leaves:
             if j in self.topo.loop_joints:
                 continue
             p, c = self.topo.joint_parent[j], self.topo.joint_child[j]
             xa = np.zeros(3) if p < 0 else x[p]
             qa = np.array([1.0, 0, 0, 0]) if p < 0 else q[p]
-            qb = np.asarray(lie.qmul(qa, off[j]))
-            xb = (
-                xa
-                + np.asarray(lie.rotate(pv[j], qa))
-                - np.asarray(lie.rotate(cv[j], qb))
-            )
+            qb = nplie.qmul(qa, off[j])
+            xb = xa + nplie.rotate(pv[j], qa) - nplie.rotate(cv[j], qb)
             x[c], q[c] = xb, qb
-        dtype = np.asarray(self.params.mass).dtype
+        dtype = np.dtype(self.params.mass.dtype)
+        # numpy leaves: zero device round-trips here; jit callers transfer
+        # the whole state in one batched put
         return BodyState(
-            x=jnp.asarray(x, dtype),
-            q=jnp.asarray(q, dtype),
-            v=jnp.zeros((nb, 3), dtype),
-            w=jnp.zeros((nb, 3), dtype),
+            x=np.asarray(x, dtype),
+            q=np.asarray(q, dtype),
+            v=np.zeros((nb, 3), dtype),
+            w=np.zeros((nb, 3), dtype),
         )
 
 
@@ -749,7 +760,11 @@ def build(
         elif cd.string_length is not None:
             c_aux[c, 0] = float(cd.string_length)
 
-    a = lambda x: jnp.asarray(x, dtype)
+    # Build every leaf in numpy and ship the whole pytree with ONE batched
+    # jax.device_put below — per-leaf jnp.asarray would be ~40 separate
+    # host→device transfers, each a multi-second round trip on a TPU relay.
+    np_dtype = np.dtype(dtype)
+    a = lambda x: np.asarray(x, np_dtype)
     params = Params(
         mass=a([b.mass for b in bodies]),
         inertia=a(np.stack([b.inertia_matrix() for b in bodies]))
@@ -790,7 +805,9 @@ def build(
         gravity=a(np.asarray(gravity, dtype=np.float64)),
         timestep=a(timestep),
     )
-    return Mechanism(
+    np_params = params
+    params = jax.device_put(params)
+    mech = Mechanism(
         topo,
         params,
         body_names,
@@ -799,3 +816,5 @@ def build(
         list(joints),
         [b.shape for b in bodies],
     )
+    mech._np_params = np_params  # host copies for build-time helpers
+    return mech

@@ -12,6 +12,8 @@ Minimal state layout (reference convention): per joint, in joint-id order,
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,8 +35,14 @@ def _joint_slices(topo: Topology):
     return sl, off
 
 
+@partial(jax.jit, static_argnums=0)
 def minimal_to_maximal(topo: Topology, params: Params, y) -> BodyState:
-    """Root-to-leaves forward kinematics from minimal coordinates+velocities."""
+    """Root-to-leaves forward kinematics from minimal coordinates+velocities.
+
+    jit-wrapped with static topology: the body unrolls ~40 ops per joint, so
+    an eager call would dispatch hundreds of tiny device ops (minutes over a
+    TPU relay), and tracing it once per enclosing jit wastes trace time —
+    the nested-jit cache makes every later trace a cheap call."""
     nb = topo.nb
     dtype = y.dtype
     h = params.timestep
@@ -90,6 +98,7 @@ def minimal_to_maximal(topo: Topology, params: Params, y) -> BodyState:
     return BodyState(x=x, q=q, v=v, w=w)
 
 
+@partial(jax.jit, static_argnums=0)
 def maximal_to_minimal(topo: Topology, params: Params, state: BodyState):
     """Per-joint relative coordinates/velocities (state.jl:44-66)."""
     dtype = state.x.dtype

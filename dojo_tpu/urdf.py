@@ -24,7 +24,7 @@ import xml.etree.ElementTree as ET
 import numpy as np
 
 from . import builder as bd
-from . import lie
+from . import lie, nplie
 
 URDF_JOINT_KINDS = {
     "revolute": "revolute",
@@ -45,17 +45,7 @@ URDF_JOINT_KINDS = {
 
 
 def _rpy_to_quat(rpy):
-    r, p, y = rpy
-
-    def rot(angle, axis):
-        q = np.zeros(4)
-        q[0] = np.cos(angle / 2)
-        q[axis + 1] = np.sin(angle / 2)
-        return q
-
-    return np.asarray(
-        lie.qmul(lie.qmul(rot(y, 2), rot(p, 1)), rot(r, 0)), dtype=np.float64
-    )
+    return nplie.rpy_to_quat(rpy)
 
 
 def _pose(el):
@@ -164,7 +154,7 @@ def _shape_of(link, xi, qi, root):
 
 
 def _qmul(a, b):
-    return np.asarray(lie.qmul(a, b), dtype=np.float64)
+    return nplie.qmul(a, b)
 
 
 def _qconj(q):
@@ -172,7 +162,7 @@ def _qconj(q):
 
 
 def _rot(v, q):
-    return np.asarray(lie.rotate(v, q), dtype=np.float64)
+    return nplie.rotate(v, q)
 
 
 def parse_urdf(

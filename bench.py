@@ -2,27 +2,40 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The benchmark unit is one receding-horizon contact-MPC solve on the
-quadruped (H=40 knots, dt=0.05 — BASELINE.json config "Quadruped trot-gait
-MPC"): a warm-started iLQR re-solve (rollout + IFT linearization reusing
-the contact solves + Riccati backward + line-searched forward), tracking a
-procedural trot reference, vmapped over a batch of scenarios.  After each
-solve the plant advances with the returned u0 (closed loop).
+Structure (hard lesson from BENCH_r02, which OOM'd + timed out and recorded
+NOTHING): the orchestrator (this process, stdlib-only — no jax import) runs
+each measurement in a SUBPROCESS with its own timeout and prints the best
+JSON line obtained so far when it finishes — or when the driver's timeout
+SIGTERMs it.  Something always lands on stdout with rc=0.
+
+  phase "steps": raw contact-step throughput (the round-1 metric) — small,
+      known-good compile; runs first so a result exists within minutes.
+  phase "mpc":  the north-star metric — receding-horizon quadruped trot
+      contact-MPC solves/s (H=40 knots, dt=0.05, warm-started iLQR re-solve:
+      rollout + IFT linearization reusing the contact solves + Riccati +
+      line-searched forward), vmapped over scenarios, closed-loop against a
+      tighter-tolerance plant.  Runs at a small batch first (guaranteed MPC
+      number), then the full batch.  Linearization is knot-chunked
+      (ILQRConfig.linearize_chunk) so the per-knot KKT block stacks never
+      materialize at (B, H, ...) — the r2 OOM.
 
 vs_baseline compares against the driver target of 1000 MPC solves/s/chip.
-Secondary fields: p50 per-solve latency vs the 50 ms real-time budget, raw
-contact-step throughput inside the MPC, solver success rates, and gait
-quality (forward progress per commanded distance).
 
-Env knobs: BENCH_MPC_B (batch, default 512), BENCH_MPC_K (control steps,
-default 10), BENCH_ITERS (iLQR iterations/solve, default 1).
+Env knobs: BENCH_BUDGET_S (orchestrator budget, default 2400),
+BENCH_MPC_B (full batch, default 256), BENCH_MPC_B_SMALL (default 32),
+BENCH_MPC_K (control steps, default 10), BENCH_ITERS (iLQR iters/solve,
+default 1), BENCH_LIN_CHUNK (default 8), BENCH_PHASE (run one phase inline).
 """
 
 import json
 import os
+import signal
+import subprocess
+import sys
 import time
 
-import numpy as np
+TARGET_MPC = 1000.0  # driver north star: MPC solves/s/chip
+TARGET_STEPS = 40000.0  # raw-steps anchor used since round 1
 
 
 def _enable_compile_cache():
@@ -40,9 +53,73 @@ def _enable_compile_cache():
         pass
 
 
-def main():
+# --------------------------------------------------------------------------
+# phase: steps — raw contact-step throughput
+# --------------------------------------------------------------------------
+
+
+def phase_steps():
     import jax
     import jax.numpy as jnp
+    import numpy as np
+
+    _enable_compile_cache()
+
+    from dojo_tpu import models
+    from dojo_tpu.core import SolverOptions
+    from dojo_tpu.simulate import make_step
+
+    B = int(os.environ.get("BENCH_STEPS_B", "256"))
+    K = int(os.environ.get("BENCH_STEPS_K", "10"))
+    mech = models.get_mechanism("quadruped", timestep=0.05).cast(jnp.float32)
+    state = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        models.initialize(mech, "quadruped"),
+    )
+    step = make_step(mech.topo, SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30))
+    batt = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), state)
+    u = jnp.zeros((B, mech.topo.nj, 6), dtype=jnp.float32)
+
+    @jax.jit
+    def batched(params, st, u):
+        st2, info = jax.vmap(step, in_axes=(None, 0, 0))(params, st, u)
+        return st2, info.success, info.iterations
+
+    t_c = time.perf_counter()
+    st, ok, it = batched(mech.params, batt, u)
+    jax.block_until_ready(st)
+    t_c = time.perf_counter() - t_c
+    t0 = time.perf_counter()
+    for _ in range(K):
+        st, ok, it = batched(mech.params, st, u)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+    sps = B * K / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"quadruped contact-dynamics steps/s/chip (B={B}, h=0.05)",
+                "value": round(sps, 1),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / TARGET_STEPS, 4),
+                "solver_success_rate": round(float(np.mean(np.asarray(ok))), 4),
+                "mean_newton_iters": round(float(np.mean(np.asarray(it))), 1),
+                "compile_s": round(t_c, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
+# --------------------------------------------------------------------------
+# phase: mpc — the north-star metric
+# --------------------------------------------------------------------------
+
+
+def phase_mpc():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     _enable_compile_cache()
 
@@ -51,21 +128,21 @@ def main():
     from dojo_tpu.gradients import make_rollout_linearize_minimal
     from dojo_tpu.minimal import maximal_to_minimal
     from dojo_tpu.mpc import ILQRConfig, TrotSpec, make_trot_mpc
+    from dojo_tpu.mpc.trot import actuated_indices
 
-    B = int(os.environ.get("BENCH_MPC_B", "512"))
+    B_full = int(os.environ.get("BENCH_MPC_B", "256"))
+    B_small = int(os.environ.get("BENCH_MPC_B_SMALL", "32"))
     K = int(os.environ.get("BENCH_MPC_K", "10"))
     ITERS = int(os.environ.get("BENCH_ITERS", "1"))
+    CHUNK = int(os.environ.get("BENCH_LIN_CHUNK", "8"))
     H, DT = 40, 0.05
+    deadline = float(os.environ.get("BENCH_PHASE_DEADLINE", "1e18"))
 
-    mech = models.get_mechanism("quadruped", timestep=DT)
-    f32 = lambda t: jax.tree.map(
-        lambda a: a.astype(jnp.float32)
-        if jnp.issubdtype(a.dtype, jnp.floating)
-        else a,
-        t,
+    mech = models.get_mechanism("quadruped", timestep=DT).cast(jnp.float32)
+    state0 = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.float32),
+        models.initialize(mech, "quadruped"),
     )
-    mech.params = f32(mech.params)
-    state0 = f32(models.initialize(mech, "quadruped"))
     y0 = maximal_to_minimal(mech.topo, mech.params, state0)
     ny = mech.topo.minimal_dim
 
@@ -75,7 +152,9 @@ def main():
     mpc_opts = SolverOptions(rtol=1e-4, btol=1e-3, max_iter=12, rescue=False)
     mpc, ref_fn = make_trot_mpc(
         mech, horizon=H, spec=spec,
-        config=ILQRConfig(iterations=ITERS, alphas=(1.0, 0.5)),
+        config=ILQRConfig(
+            iterations=ITERS, alphas=(1.0, 0.5), linearize_chunk=CHUNK
+        ),
         opts=mpc_opts, dt=DT,
     )
     # plant: tighter tolerances than the controller's relaxed solves
@@ -83,19 +162,8 @@ def main():
     plant_step, _, plant_seed = make_rollout_linearize_minimal(
         mech.topo, plant_opts
     )
-    from dojo_tpu.mpc.trot import actuated_indices
-
     act = jnp.asarray(actuated_indices(mech))
     n_packed = mech.topo.input_dim
-
-    # scenario batch: small per-lane perturbations of the standing pose
-    rng = np.random.default_rng(0)
-    pert = np.zeros((B, ny), dtype=np.float32)
-    pert[:, :2] = rng.normal(scale=0.01, size=(B, 2))  # base xy
-    pert[:, 6:9] = rng.normal(scale=0.02, size=(B, 3))  # base velocity
-    ys = jnp.asarray(np.asarray(y0)[None] + pert)
-    us_warm = jnp.zeros((B, H, 12), dtype=jnp.float32)
-    w_plant = jax.vmap(lambda y: plant_seed(mech.params, y))(ys)
 
     @jax.jit
     def control_step(params, ys, us_warm, w_plant, t0):
@@ -111,133 +179,194 @@ def main():
         )(params, ys, u_full, w_plant)
         return ys2, us_next, w2, c, okf, ok
 
-    # warmup/compile
-    t_compile = time.perf_counter()
-    out = control_step(mech.params, ys, us_warm, w_plant, jnp.float32(0.0))
-    jax.block_until_ready(out)
-    t_compile = time.perf_counter() - t_compile
+    def make_batch(B):
+        rng = np.random.default_rng(0)
+        pert = np.zeros((B, ny), dtype=np.float32)
+        pert[:, :2] = rng.normal(scale=0.01, size=(B, 2))  # base xy
+        pert[:, 6:9] = rng.normal(scale=0.02, size=(B, 3))  # base velocity
+        ys = jnp.asarray(np.asarray(y0)[None] + pert)
+        us_warm = jnp.zeros((B, H, 12), dtype=jnp.float32)
+        w_plant = jax.vmap(lambda y: plant_seed(mech.params, y))(ys)
+        return ys, us_warm, w_plant
 
-    viz_path = os.environ.get("BENCH_MPC_VIZ")  # e.g. docs/trot.html
-    lane0 = [np.asarray(ys)[0]]
-    lat = []
-    okfs, oks = [], []
-    t_all = time.perf_counter()
-    for k in range(K):
-        t0 = time.perf_counter()
-        ys, us_warm, w_plant, c, okf, ok = control_step(
-            mech.params, ys, us_warm, w_plant, jnp.float32(k * DT)
-        )
-        jax.block_until_ready(ys)
-        lat.append(time.perf_counter() - t0)
-        okfs.append(np.asarray(okf))
-        oks.append(np.asarray(ok))
+    def run_config(B, label_extra=""):
+        ys, us_warm, w_plant = make_batch(B)
+        t_compile = time.perf_counter()
+        out = control_step(mech.params, ys, us_warm, w_plant, jnp.float32(0.0))
+        jax.block_until_ready(out)
+        t_compile = time.perf_counter() - t_compile
+
+        viz_path = os.environ.get("BENCH_MPC_VIZ") if B == B_full else None
+        lane0 = [np.asarray(ys)[0]]
+        lat, okfs, oks = [], [], []
+        t_all = time.perf_counter()
+        for k in range(K):
+            t0 = time.perf_counter()
+            ys, us_warm, w_plant, c, okf, ok = control_step(
+                mech.params, ys, us_warm, w_plant, jnp.float32(k * DT)
+            )
+            jax.block_until_ready(ys)
+            lat.append(time.perf_counter() - t0)
+            okfs.append(np.asarray(okf))
+            oks.append(np.asarray(ok))
+            if viz_path:
+                lane0.append(np.asarray(ys)[0])
+        t_all = time.perf_counter() - t_all
+
         if viz_path:
-            lane0.append(np.asarray(ys)[0])
-    t_all = time.perf_counter() - t_all
+            from dojo_tpu import visuals
+            from dojo_tpu.minimal import minimal_to_maximal
 
-    if viz_path:
-        from dojo_tpu import visuals
-        from dojo_tpu.minimal import minimal_to_maximal
+            states = [
+                minimal_to_maximal(mech.topo, mech.params, jnp.asarray(y))
+                for y in lane0
+            ]
+            xs = np.stack([np.asarray(s.x) for s in states])
+            qs = np.stack([np.asarray(s.q) for s in states])
+            visuals.visualize(mech, xs, qs, viz_path, title="quadruped trot MPC")
 
-        states = [
-            minimal_to_maximal(mech.topo, mech.params, jnp.asarray(y))
-            for y in lane0
-        ]
-        xs = np.stack([np.asarray(s.x) for s in states])
-        qs = np.stack([np.asarray(s.q) for s in states])
-        visuals.visualize(mech, xs, qs, viz_path, title="quadruped trot MPC")
-
-    solves_per_s = B * K / t_all
-    p50_ms = float(np.median(lat) * 1e3)
-    # contact solves per MPC solve: rollout H + iters * (n_alpha * H fwd)
-    steps_per_solve = H * (1 + ITERS * 2) + 1  # +1 plant step
-    target = 1000.0
-
-    # gait quality: commanded forward distance vs achieved
-    adv = float(np.mean(np.asarray(ys)[:, 0]) - np.mean(np.asarray(y0)[0]))
-    cmd = spec.vx * K * DT
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"quadruped trot contact-MPC solves/s/chip "
-                    f"(H={H}, dt={DT}, B={B}, iLQR iters={ITERS})"
-                ),
-                "value": round(solves_per_s, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / target, 4),
-                "p50_solve_latency_ms": round(p50_ms, 1),
-                "real_time_budget_ms": 50.0,
-                "contact_steps_per_s": round(solves_per_s * steps_per_solve, 0),
-                "mpc_solver_success": round(float(np.mean(okfs)), 4),
-                "plant_solver_success": round(float(np.mean(oks)), 4),
-                "tracking_cost": round(float(np.mean(np.asarray(c))), 3),
-                "forward_progress_frac": round(adv / cmd, 3) if cmd else None,
-                "compile_s": round(t_compile, 1),
-            }
+        solves_per_s = B * K / t_all
+        p50_ms = float(np.median(lat) * 1e3)
+        # contact solves per MPC solve: rollout H + iters * (n_alpha * H fwd)
+        steps_per_solve = H * (1 + ITERS * 2) + 1  # +1 plant step
+        adv = float(np.mean(np.asarray(ys)[:, 0]) - np.mean(np.asarray(y0)[0]))
+        cmd = spec.vx * K * DT
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"quadruped trot contact-MPC solves/s/chip "
+                        f"(H={H}, dt={DT}, B={B}, iLQR iters={ITERS}"
+                        f"{label_extra})"
+                    ),
+                    "value": round(solves_per_s, 1),
+                    "unit": "solves/s",
+                    "vs_baseline": round(solves_per_s / TARGET_MPC, 4),
+                    "p50_solve_latency_ms": round(p50_ms, 1),
+                    "real_time_budget_ms": 50.0,
+                    "contact_steps_per_s": round(
+                        solves_per_s * steps_per_solve, 0
+                    ),
+                    "mpc_solver_success": round(float(np.mean(okfs)), 4),
+                    "plant_solver_success": round(float(np.mean(oks)), 4),
+                    "tracking_cost": round(float(np.mean(np.asarray(c))), 3),
+                    "forward_progress_frac": (
+                        round(adv / cmd, 3) if cmd else None
+                    ),
+                    "compile_s": round(t_compile, 1),
+                }
+            ),
+            flush=True,
         )
+        return t_compile, t_all
+
+    # small batch first: guarantees an MPC-metric line lands even if the
+    # full-batch attempt OOMs or exceeds the phase timeout
+    t_compile, t_run = run_config(B_small, " [small-batch preflight]")
+    if B_full > B_small:
+        # only attempt the full batch if the remaining budget plausibly
+        # covers a second compile + a linearly-scaled run
+        est = t_compile * 0.5 + t_run * (B_full / B_small) + 60.0
+        if time.time() + est < deadline:
+            run_config(B_full)
+        else:
+            print(
+                f"bench: skipping B={B_full} (est {est:.0f}s exceeds budget)",
+                file=sys.stderr,
+            )
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+_best = None
+_child = None
+
+
+def _emit_and_exit(signum=None, frame=None):
+    global _child
+    if _child is not None and _child.poll() is None:
+        try:
+            os.killpg(os.getpgid(_child.pid), signal.SIGKILL)
+        except Exception:
+            pass
+    out = _best or {
+        "metric": "bench failed (no phase produced a result)",
+        "value": 0.0,
+        "unit": "solves/s",
+        "vs_baseline": 0.0,
+    }
+    print(json.dumps(out), flush=True)
+    os._exit(0)
+
+
+def _run_phase(name, timeout_s, extra_env=None):
+    """Run `bench.py --phase name` in a new session; return the last JSON
+    line it printed (or None)."""
+    global _child
+    env = dict(os.environ)
+    env["BENCH_PHASE"] = name
+    env.update(extra_env or {})
+    _child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        text=True,
+        env=env,
+        start_new_session=True,
     )
+    try:
+        out, _ = _child.communicate(timeout=timeout_s)
+        rc = _child.returncode
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(_child.pid), signal.SIGKILL)
+        except Exception:
+            pass
+        out, _ = _child.communicate()
+        rc = "timeout"
+    _child = None
+    result = None
+    for line in (out or "").strip().splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                result = json.loads(line)
+            except Exception:
+                pass
+    print(f"bench phase {name}: rc={rc} parsed={result is not None}",
+          file=sys.stderr)
+    return result
 
 
-def fallback_steps_bench():
-    """Raw contact-step throughput (the round-1 metric) — printed if the
-    full MPC bench cannot run (e.g. compile/backend failure), so the driver
-    always records ONE JSON line."""
-    import jax
-    import jax.numpy as jnp
+def orchestrate():
+    global _best
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    t_end = time.time() + budget
 
-    _enable_compile_cache()
+    steps_timeout = min(900.0, 0.4 * budget)
+    r = _run_phase("steps", steps_timeout)
+    if r:
+        _best = r
 
-    from dojo_tpu import models
-    from dojo_tpu.core import SolverOptions
-    from dojo_tpu.simulate import make_step
-
-    B, K = 256, 10
-    mech = models.get_mechanism("quadruped", timestep=0.05)
-    f32 = lambda t: jax.tree.map(
-        lambda a: a.astype(jnp.float32)
-        if jnp.issubdtype(a.dtype, jnp.floating)
-        else a,
-        t,
+    mpc_timeout = max(60.0, t_end - time.time() - 30.0)
+    r = _run_phase(
+        "mpc", mpc_timeout,
+        {"BENCH_PHASE_DEADLINE": str(time.time() + mpc_timeout - 20.0)},
     )
-    mech.params = f32(mech.params)
-    state = f32(models.initialize(mech, "quadruped"))
-    step = make_step(mech.topo, SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30))
-    batt = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), state)
-    u = jnp.zeros((B, mech.topo.nj, 6), dtype=jnp.float32)
-
-    @jax.jit
-    def batched(params, st, u):
-        st2, info = jax.vmap(step, in_axes=(None, 0, 0))(params, st, u)
-        return st2, info.success
-
-    st, ok = batched(mech.params, batt, u)
-    jax.block_until_ready(st)
-    t0 = time.perf_counter()
-    for _ in range(K):
-        st, ok = batched(mech.params, st, u)
-    jax.block_until_ready(st)
-    dt = time.perf_counter() - t0
-    sps = B * K / dt
-    print(
-        json.dumps(
-            {
-                "metric": "quadruped contact-dynamics steps/s/chip "
-                "(B=256, h=0.05; FALLBACK — MPC bench failed)",
-                "value": round(sps, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(sps / 40000.0, 4),
-                "solver_success_rate": round(float(np.mean(np.asarray(ok))), 4),
-            }
-        )
-    )
+    if r:
+        _best = r
+    _emit_and_exit()
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception as e:  # noqa: BLE001 — always emit one JSON line
-        import sys, traceback
-
-        traceback.print_exc(file=sys.stderr)
-        fallback_steps_bench()
+    phase = os.environ.get("BENCH_PHASE")
+    if phase == "steps":
+        phase_steps()
+    elif phase == "mpc":
+        phase_mpc()
+    else:
+        orchestrate()

@@ -44,6 +44,14 @@ class ILQRConfig(NamedTuple):
     # horizon-parallel path; shard the knot axis over an `hz` mesh axis to
     # spread the composition tree over ICI
     parallel_riccati: bool = False
+    # >0: linearize the trajectory in knot chunks of this size (lax.map
+    # batch_size) instead of one vmap over all H knots.  Bounds the HBM
+    # held by per-knot KKT block stacks: a full-H vmap under a B-lane
+    # scenario vmap materializes (B, H, nodes, 14, 14) temporaries whose
+    # (8,128) tiling pads 196 floats to 2048 (10.4×) — at B=512, H=40 that
+    # was ~640 MB per buffer and OOM'd a v5e chip (BENCH_r02).  Chunking
+    # caps the live set at (B, chunk, ...) with identical results.
+    linearize_chunk: int = 8
 
 
 def _mat(d, n):
@@ -121,6 +129,11 @@ def make_ilqr(topo: Topology, cost: QuadCost, horizon: int,
             A, B = linearize_full(params, y, expand(u), w, mu)
             return A, shrink_B(B)
 
+        if config.linearize_chunk and config.linearize_chunk < H:
+            return jax.lax.map(
+                lambda t: ab(*t), (ys[:-1], us, ws, mus),
+                batch_size=config.linearize_chunk,
+            )
         return jax.vmap(ab)(ys[:-1], us, ws, mus)
 
     def backward(As, Bs, ys, us, reg, goals):

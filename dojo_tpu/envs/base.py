@@ -36,7 +36,7 @@ class Environment:
             return jnp.zeros(self.mech.input_dim)
         return jnp.asarray(u)
 
-    def reward(self, y, u, y_next, info):
+    def reward(self, y, u, y_next, info, aux=None):
         return jnp.asarray(0.0)
 
     def is_done(self, y):
@@ -50,6 +50,9 @@ class Environment:
         return None
 
     # -- waypoint-progression aux state (reference waypoint envs) -----------
+    # Aux state is traced data threaded through step()/make_scan_step() —
+    # never Python attributes on the env — so envs with progression logic
+    # (waypoint index) stay jit/vmap/scan-compatible.
     def aux_reset(self):
         """Initial auxiliary env state (e.g. waypoint index); None if unused."""
         return None
@@ -93,21 +96,54 @@ class Environment:
             self._step_fn = jax.jit(fn)
         return self._step_fn
 
-    def step(self, y, u=None):
-        """One env step: returns (y_next, reward, done, info)."""
+    def step(self, y, u=None, aux=None):
+        """One env step: (y_next, reward, done, info), plus the updated aux
+        state appended when `aux` is passed (waypoint-progression envs)."""
         y = self.state_map(jnp.asarray(y))
         up = self.input_map(u)
         y2, info = self._raw_step()(y, up)
-        r = self.reward(y, up, y2, info)
-        return y2, r, self.is_done(y2), info
+        if aux is None:
+            return y2, self.reward(y, up, y2, info), self.is_done(y2), info
+        aux2 = self.aux_update(aux, y2)
+        r = self.reward(y, up, y2, info, aux2)
+        return y2, r, self.is_done(y2), info, aux2
+
+    def make_scan_step(self):
+        """Pure (carry, u) → (carry2, (y2, r, done, ok)) with
+        carry=(y, aux): the jit/vmap/lax.scan form of step().  Batch a
+        rollout with jax.vmap over the carry; aux (e.g. waypoint index) is
+        per-lane traced data."""
+        topo, params = self.mech.topo, self.mech.params
+        inner = make_step(topo, self.opts)
+
+        def fn(carry, u):
+            y, aux = carry
+            y_m = self.state_map(y)
+            up = self.input_map(u)
+            state = minimal_to_maximal(topo, params, y_m)
+            ext = self.external_forces(state)
+            fext, text = ext if ext is not None else (None, None)
+            state2, info = inner(
+                params, state, pad_inputs(topo, up), fext=fext, text=text
+            )
+            y2 = maximal_to_minimal(topo, params, state2)
+            aux2 = self.aux_update(aux, y2)
+            r = self.reward(y_m, up, y2, info, aux2)
+            return (y2, aux2), (y2, r, self.is_done(y2), info.success)
+
+        return fn
 
     def simulate(self, y0, controller=None, horizon=None):
         """Host-loop rollout with an arbitrary Python controller(y, k) → u."""
         ys, rs = [], []
         y = jnp.asarray(y0)
+        aux = self.aux_reset()
         for k in range(horizon or self.horizon):
             u = controller(y, k) if controller else None
-            y, r, done, info = self.step(y, u)
+            out = self.step(y, u, aux=aux)
+            y, r = out[0], out[1]
+            if aux is not None:
+                aux = out[4]
             ys.append(y)
             rs.append(r)
         return jnp.stack(ys), jnp.stack(rs)

@@ -24,7 +24,7 @@ class Pendulum(Environment):
         )
         super().__init__(mech, horizon, **kw)
 
-    def reward(self, y, u, y2, info):
+    def reward(self, y, u, y2, info, aux=None):
         # swing-up reward: upright is θ=π
         return -jnp.cos(y2[0]) - 1e-3 * jnp.sum(u**2)
 
@@ -46,7 +46,7 @@ class CartpoleDQN(Environment):
         return jnp.concatenate([u[:1], jnp.zeros(1)])
 
     # minimal layout: [x, ẋ, θ, θ̇] (prismatic then revolute sub-vectors)
-    def reward(self, y, u, y2, info):
+    def reward(self, y, u, y2, info, aux=None):
         # reference DQN example: 1 per step while alive
         # (examples/learning/cartpole_dqn.jl:123)
         return jnp.asarray(1.0)
@@ -81,7 +81,7 @@ class AntARS(Environment):
         forces = jnp.clip(wc[:, nh], -1.0, 1.0)  # normal impulses γ₀
         return jnp.concatenate([y, forces])
 
-    def reward(self, y, u, y2, info):
+    def reward(self, y, u, y2, info, aux=None):
         h = self.mech.params.timestep
         forward = (y2[0] - y[0]) / h  # x-velocity of the trunk
         ctrl = 0.5 * jnp.sum(u**2)

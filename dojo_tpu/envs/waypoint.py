@@ -49,25 +49,22 @@ class QuadrupedWaypoint(Environment):
     # switching to the next when within `wp_radius` of the current one
     # (the reference's waypoints are visualization-only,
     # quadruped_waypoint.jl:77-101; the tracking reward is our RL-facing
-    # extension over the same waypoint list).
+    # extension over the same waypoint list).  The index is traced aux
+    # state threaded through step()/make_scan_step() — per-lane data under
+    # vmap, never a Python attribute.
     wp_radius = 0.15
 
-    def reset(self, **kwargs):
-        self.wp_index = 0
-        return super().reset(**kwargs)
+    def aux_reset(self):
+        return jnp.asarray(0, jnp.int32)
 
-    def step(self, y, u=None):
-        y2, r, done, info = super().step(y, u)
-        d = float(jnp.linalg.norm(y2[:2] - self.waypoints[self.wp_index]))
-        if d < self.wp_radius and self.wp_index < len(self.waypoints) - 1:
-            self.wp_index += 1
-            r = self.reward(y, u, y2, info)  # track the new target
-        return y2, r, done, info
+    def aux_update(self, aux, y2):
+        d = jnp.linalg.norm(y2[:2] - self.waypoints[aux])
+        advance = (d < self.wp_radius) & (aux < len(self.waypoints) - 1)
+        return aux + advance.astype(aux.dtype)
 
-    def reward(self, y, u, y2, info):
-        i = getattr(self, "wp_index", 0)
-        d = jnp.linalg.norm(y2[:2] - self.waypoints[i])
-        return -d
+    def reward(self, y, u, y2, info, aux=None):
+        i = 0 if aux is None else aux
+        return -jnp.linalg.norm(y2[:2] - self.waypoints[i])
 
 
 class QuadrupedSampling(QuadrupedWaypoint):
@@ -118,7 +115,7 @@ class QuadrotorWaypoint(Environment):
         torque = lie.rotate(jnp.sum(torques + t_from_f, axis=0), q)
         return jnp.concatenate([force, torque])
 
-    def step(self, y, u=None):
+    def step(self, y, u=None, aux=None):
         y = jnp.asarray(y)
         state = self.mech.maximal_state(y)
         base = self.mech.body_index.get("base_link", 0)
@@ -129,9 +126,10 @@ class QuadrotorWaypoint(Environment):
         )
         up = jnp.concatenate([wrench, jnp.zeros(self.mech.input_dim - 6)])
         y2, info = self._raw_step()(y, up)
-        return y2, self.reward(y, up, y2, info), self.is_done(y2), info
+        out = (y2, self.reward(y, up, y2, info), self.is_done(y2), info)
+        return out if aux is None else out + (aux,)
 
-    def reward(self, y, u, y2, info):
+    def reward(self, y, u, y2, info, aux=None):
         return -jnp.linalg.norm(y2[:3] - jnp.asarray([1.0, 1.0, 0.3]))
 
 

@@ -72,16 +72,54 @@ def test_uuv_buoyancy_rises():
 
 @pytest.mark.slow
 def test_quadruped_waypoint_progression():
-    """The waypoint index advances when the base reaches a waypoint."""
+    """The waypoint index (traced aux state) advances when the base reaches
+    a waypoint."""
     env = envs.get_environment("quadruped_waypoint", timestep=0.01)
     y = env.reset()
-    assert env.wp_index == 0
+    aux = env.aux_reset()
+    assert int(aux) == 0
     # teleport the base onto waypoint 0 and step
     y = jnp.asarray(y).at[0].set(float(env.waypoints[0][0]))
     y = y.at[1].set(float(env.waypoints[0][1]))
-    y, r, done, info = env.step(y, np.zeros(12))
-    assert env.wp_index == 1
+    y, r, done, info, aux = env.step(y, np.zeros(12), aux=aux)
+    assert int(aux) == 1
     # reward now tracks waypoint 1
     assert float(r) == pytest.approx(
         -float(jnp.linalg.norm(y[:2] - env.waypoints[1])), rel=1e-5
     )
+
+
+@pytest.mark.slow
+def test_quadruped_waypoint_vmapped_rollout():
+    """A batch of env lanes rolls out under jax.vmap(lax.scan(step)) with
+    per-lane waypoint indices — the aux state is data, not Python state."""
+    import jax
+
+    env = envs.get_environment("quadruped_waypoint", timestep=0.01)
+    y0 = jnp.asarray(env.reset())
+    scan_step = env.make_scan_step()
+    B, T = 3, 2
+    # lane 0 starts on waypoint 0 (its index should advance); others don't
+    ys0 = jnp.tile(y0, (B, 1))
+    ys0 = ys0.at[0, 0].set(float(env.waypoints[0][0]))
+    ys0 = ys0.at[0, 1].set(float(env.waypoints[0][1]))
+    aux0 = jnp.zeros((B,), jnp.int32)
+    us = jnp.zeros((B, T, 12))
+
+    @jax.jit
+    def rollout(ys0, aux0, us):
+        def lane(y0, a0, u_seq):
+            (yf, af), (ys, rs, dones, oks) = jax.lax.scan(
+                scan_step, (y0, a0), u_seq
+            )
+            return yf, af, rs, oks
+
+        return jax.vmap(lane)(ys0, aux0, us)
+
+    yf, af, rs, oks = rollout(ys0, aux0, us)
+    assert yf.shape == (B, y0.shape[0])
+    assert np.isfinite(np.asarray(yf)).all()
+    assert np.asarray(oks).all()
+    af = np.asarray(af)
+    assert af[0] == 1, af  # lane 0 reached waypoint 0
+    assert (af[1:] == 0).all(), af

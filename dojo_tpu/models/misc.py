@@ -98,8 +98,11 @@ def initialize_block2d(mech, position=(0.0, 1.0), orientation=0.0,
 def get_quadrotor(
     timestep=0.01, gravity=-9.81, urdf="pelican_fixed_rotors",
     parse_dampers=True, friction_coefficient=0.5, contact_rotors=True,
-    contact_body=True,
+    contact_body=True, keep_fixed_joints=False,
 ):
+    """Pelican quadrotor.  keep_fixed_joints=False merges the four welded
+    rotor bodies into the base (reference quadrotor/mechanism.jl:11 default),
+    shrinking the KKT system from 5 bodies to 1."""
     bodies, joints = parse_urdf_defs(
         os.path.join(ASSETS, f"{urdf}.urdf"), floating=True,
         parse_dampers=parse_dampers,
@@ -123,6 +126,10 @@ def get_quadrotor(
                               friction=friction_coefficient, origin=o,
                               name=f"body_contact{i}")
             )
+    if not keep_fixed_joints:
+        bodies, joints, contacts = bd.reduce_fixed_joints(
+            bodies, joints, contacts
+        )
     return bd.build(bodies, joints, contacts, timestep=timestep,
                     gravity=(0, 0, gravity))
 
@@ -140,7 +147,10 @@ def initialize_quadrotor(mech, body_position=(0, 0, 0.23), body_orientation_rv=(
 def get_uuv(
     timestep=0.01, gravity=0.0, urdf="mini_tortuga_fixed_rotors",
     parse_dampers=True, friction_coefficient=0.5, contact_body=True,
+    keep_fixed_joints=False,
 ):
+    """Mini-Tortuga UUV.  keep_fixed_joints=False merges the six welded
+    thruster bodies into the hull (reference uuv/mechanism.jl default)."""
     # the mini_tortuga URDFs declare an explicit `origin` link and a
     # `floating_base` floating joint, so the mechanism is parsed with
     # floating=False (reference uuv/mechanism.jl:18) — floating=True would
@@ -157,6 +167,10 @@ def get_uuv(
                               friction=friction_coefficient, origin=o,
                               radius=0.21, name=f"hull_contact{i}")
             )
+    if not keep_fixed_joints:
+        bodies, joints, contacts = bd.reduce_fixed_joints(
+            bodies, joints, contacts
+        )
     return bd.build(bodies, joints, contacts, timestep=timestep,
                     gravity=(0, 0, gravity))
 
@@ -325,8 +339,11 @@ def initialize_humanoid(mech, body_position=(0, 0, 1.33), body_orientation_rv=(0
 def get_atlas(
     timestep=0.01, gravity=-9.81, urdf="atlas_simple", springs=0.0,
     dampers=0.0, parse_springs=True, parse_dampers=True,
-    friction_coefficient=0.8, contact_feet=True,
+    friction_coefficient=0.8, contact_feet=True, keep_fixed_joints=False,
 ):
+    """Atlas.  keep_fixed_joints=False merges the welded head into the
+    utorso (reference atlas/mechanism.jl:11 default), dropping one body and
+    six constraint rows from the KKT system."""
     bodies, joints = parse_urdf_defs(
         os.path.join(ASSETS, f"{urdf}.urdf"), floating=True,
         parse_dampers=parse_dampers,
@@ -349,6 +366,10 @@ def get_atlas(
                                   friction=friction_coefficient, origin=o,
                                   radius=0.025, name=f"{foot}_c{i}")
                 )
+    if not keep_fixed_joints:
+        bodies, joints, contacts = bd.reduce_fixed_joints(
+            bodies, joints, contacts
+        )
     return bd.build(bodies, joints, contacts, timestep=timestep,
                     gravity=(0, 0, gravity))
 

@@ -11,9 +11,11 @@ Notes kept faithful to the reference:
 * joint axes are used as given in the joint frame (the reference's
   "TODO: fix axis" behavior, urdf.jl:214-216);
 * ``<loop_joint>`` elements close kinematic loops (fourbar);
-* fixed joints are *kept* as constraints (the reference's
-  ``reduce_fixed_joints`` body merging is a planned optimization — minimal
-  state and input dimensions are unaffected since fixed joints contribute 0).
+* fixed joints are kept as constraints by the parser itself; zoo models
+  whose reference defaults to ``keep_fixed_joints=false`` (atlas, panda,
+  youbot, exoskeleton, quadrotor, uuv — mechanism.jl:11 etc.) run
+  ``builder.reduce_fixed_joints`` on the parsed definitions before build,
+  merging welded bodies and shrinking the KKT system.
 """
 
 from __future__ import annotations

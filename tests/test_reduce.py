@@ -99,3 +99,38 @@ def test_reduce_merged_child_of_loop_joint():
     # is identical only for the unmerged b, so compare body-a trajectory
     # (above) plus total-mass bookkeeping
     assert abs(sum(b.mass for b in b2) - sum(b.mass for b in bodies)) < 1e-12
+
+
+def test_urdf_keep_fixed_joints_equivalence():
+    """URDF-path reduction (reference zoo default keep_fixed_joints=false,
+    e.g. quadrotor/mechanism.jl:11): merging the welded rotor bodies must
+    leave the base trajectory equivalent and shrink the KKT system."""
+    from dojo_tpu import models
+
+    mk = models.get_mechanism("quadrotor", keep_fixed_joints=True)
+    mr = models.get_mechanism("quadrotor", keep_fixed_joints=False)
+    assert mr.topo.nb < mk.topo.nb, (mr.topo.nb, mk.topo.nb)
+    assert mr.topo.dim < mk.topo.dim, (mr.topo.dim, mk.topo.dim)
+    # same minimal state dimension (fixed joints contribute 0)
+    assert mr.topo.minimal_dim == mk.topo.minimal_dim
+
+    opts = SolverOptions(rtol=1e-10, btol=1e-10)
+    ib_k = mk.body_index["base_link"]
+    ib_r = mr.body_index["base_link"]
+
+    def roll(m, ib, n=40):
+        s = models.initialize(m, "quadrotor", body_position=(0, 0, 0.6))
+        step = jax.jit(make_step(m.topo, opts))
+        traj = []
+        for _ in range(n):
+            s, info = step(m.params, s, None)
+            traj.append(np.asarray(s.x)[ib])
+        return np.stack(traj)
+
+    tk = roll(mk, ib_k)
+    tr = roll(mr, ib_r)
+    # the merged base's reported position is its (shifted) COM; correct for
+    # the constant COM offset observed at the start before comparing drops
+    off = tr[0] - tk[0]
+    err = np.abs((tr - off) - tk).max()
+    assert err < 1e-6, err

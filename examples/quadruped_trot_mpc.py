@@ -7,16 +7,24 @@ This is the single-lane version of bench.py's batched benchmark; on the
 analog: DojoEnvironments/src/environments/quadruped_waypoint.jl trot gait.
 
 Usage: python examples/quadruped_trot_mpc.py [K_control_steps] [out.html]
+       python examples/quadruped_trot_mpc.py --resume ...   # continue a run
+
+With --resume the controller state (y, warm-started input sequence, plant
+solver solution, step counter) is checkpointed every control step via
+dojo_tpu.checkpoint and restored on restart (SURVEY §5 checkpoint/resume).
 """
 
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+CKPT = os.environ.get("TROT_CKPT", "/tmp/dojo_tpu_trot_ckpt")
 
-def main(K=20, out="quadruped_trot.html", H=40, DT=0.05):
+
+def main(K=20, out="quadruped_trot.html", H=40, DT=0.05, resume=False):
     from dojo_tpu import models, visuals
     from dojo_tpu.core import SolverOptions
     from dojo_tpu.gradients import make_rollout_linearize_minimal
@@ -57,14 +65,35 @@ def main(K=20, out="quadruped_trot.html", H=40, DT=0.05):
 
     us_warm = jnp.zeros((H, 12), dtype=jnp.float32)
     w = plant_seed(mech.params, y)
+    k0 = 0
+    run_state = {"y": y, "us_warm": us_warm, "w": w, "k": jnp.asarray(0)}
+    if resume:
+        from dojo_tpu import checkpoint as ckpt
+
+        try:
+            run_state = ckpt.restore(CKPT, run_state)
+            y, us_warm, w = run_state["y"], run_state["us_warm"], run_state["w"]
+            k0 = int(np.asarray(run_state["k"]))
+            print(f"resumed from {CKPT} at control step {k0}")
+        except Exception as e:  # first run: nothing to resume
+            print(f"no checkpoint at {CKPT} ({e}); starting fresh")
+
     traj = [np.asarray(y)]
-    for k in range(K):
+    for k in range(k0, K):
         y, us_warm, w, c, okf, ok = control_step(
             mech.params, y, us_warm, w, jnp.float32(k * DT)
         )
         traj.append(np.asarray(y))
         print(f"k={k:3d} cost={float(c):9.3f} mpc_ok={float(okf):.2f} "
               f"plant_ok={bool(ok)} x={float(y[0]):.3f}")
+        if resume:
+            from dojo_tpu import checkpoint as ckpt
+
+            ckpt.save(
+                CKPT,
+                {"y": y, "us_warm": us_warm, "w": w,
+                 "k": jnp.asarray(k + 1)},
+            )
 
     states = [minimal_to_maximal(mech.topo, mech.params, jnp.asarray(t))
               for t in traj]
@@ -75,6 +104,8 @@ def main(K=20, out="quadruped_trot.html", H=40, DT=0.05):
 
 
 if __name__ == "__main__":
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    out = sys.argv[2] if len(sys.argv) > 2 else "quadruped_trot.html"
-    main(K=K, out=out)
+    args = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    K = int(args[0]) if args else 20
+    out = args[1] if len(args) > 1 else "quadruped_trot.html"
+    main(K=K, out=out, resume=resume)

@@ -130,11 +130,17 @@ def phase_mpc():
     from dojo_tpu.mpc import ILQRConfig, TrotSpec, make_trot_mpc
     from dojo_tpu.mpc.trot import actuated_indices
 
-    B_full = int(os.environ.get("BENCH_MPC_B", "256"))
+    B_full = int(os.environ.get("BENCH_MPC_B", "128"))
     B_small = int(os.environ.get("BENCH_MPC_B_SMALL", "32"))
     K = int(os.environ.get("BENCH_MPC_K", "10"))
     ITERS = int(os.environ.get("BENCH_ITERS", "1"))
-    CHUNK = int(os.environ.get("BENCH_LIN_CHUNK", "8"))
+    # knot-chunked linearize (lax.map) is OFF by default on TPU: the
+    # scan-of-vmap batched-matmul pattern trips an XLA:TPU mis-rewrite into
+    # a base-dilated convolution ("Expected instruction to have shape equal
+    # to f32[16,32,8,14,14]", internal compiler error).  B=128 at full-H
+    # vmap keeps the (B,H,nodes,14,14) block temps ~3 GB — inside v5e HBM
+    # (the r2 OOM was B=512 → 12.8 GB).
+    CHUNK = int(os.environ.get("BENCH_LIN_CHUNK", "0"))
     H, DT = 40, 0.05
     deadline = float(os.environ.get("BENCH_PHASE_DEADLINE", "1e18"))
 

@@ -171,9 +171,10 @@ def phase_mpc():
     act = jnp.asarray(actuated_indices(mech))
     n_packed = mech.topo.input_dim
 
+    # goals computed OUTSIDE the jit and passed as data: gait-parameter
+    # changes (TrotSpec) then never recompile the 30-min control_step graph
     @jax.jit
-    def control_step(params, ys, us_warm, w_plant, t0):
-        goals = ref_fn(t0)
+    def control_step(params, ys, us_warm, w_plant, goals):
         u0, us_next, c, okf = jax.vmap(
             mpc, in_axes=(None, 0, 0, None)
         )(params, ys, us_warm, goals)
@@ -197,8 +198,9 @@ def phase_mpc():
 
     def run_config(B, label_extra=""):
         ys, us_warm, w_plant = make_batch(B)
+        goals0 = jax.block_until_ready(ref_fn(jnp.float32(0.0)))
         t_compile = time.perf_counter()
-        out = control_step(mech.params, ys, us_warm, w_plant, jnp.float32(0.0))
+        out = control_step(mech.params, ys, us_warm, w_plant, goals0)
         jax.block_until_ready(out)
         t_compile = time.perf_counter() - t_compile
 
@@ -209,7 +211,7 @@ def phase_mpc():
         for k in range(K):
             t0 = time.perf_counter()
             ys, us_warm, w_plant, c, okf, ok = control_step(
-                mech.params, ys, us_warm, w_plant, jnp.float32(k * DT)
+                mech.params, ys, us_warm, w_plant, ref_fn(jnp.float32(k * DT))
             )
             jax.block_until_ready(ys)
             lat.append(time.perf_counter() - t0)

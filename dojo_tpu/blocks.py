@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .core import REG, Params, Topology
+from .ldu import bmm
 from .graph import Schedule
 from .residual import (
     StepContext,
@@ -194,11 +195,11 @@ def make_assembler(topo: Topology, sched: Schedule):
                 # 'j' rows/cols sit at the joint's offset inside its child
                 # supernode; 'p'/'c' body velocities sit at offset 0
                 if ra == "j":
-                    sub = jnp.einsum("nwr,nrc->nwc", Pj_d, sub)
+                    sub = bmm(Pj_d, sub)
                 else:
                     sub = jnp.pad(sub, ((0, 0), (0, W - sub.shape[1]), (0, 0)))
                 if cb == "j":
-                    sub = jnp.einsum("nrc,nvc->nrv", sub, Pj_d)
+                    sub = bmm(sub, jnp.swapaxes(Pj_d, -1, -2))
                 else:
                     sub = jnp.pad(sub, ((0, 0), (0, 0), (0, W - sub.shape[2])))
                 blocks = blocks.at[j_slot_tab[role]].add(sub)
@@ -248,11 +249,11 @@ def make_assembler(topo: Topology, sched: Schedule):
                     # 'k' rows/cols sit at the contact's offset inside its
                     # parent supernode; 'p'/'c' body velocities sit at 0
                     if ra == "k":
-                        sub = jnp.einsum("nwr,nrc->nwc", Pk_ids, sub)
+                        sub = bmm(Pk_ids, sub)
                     else:
                         sub = jnp.pad(sub, ((0, 0), (0, W - sub.shape[1]), (0, 0)))
                     if cb == "k":
-                        sub = jnp.einsum("nrc,nvc->nrv", sub, Pk_ids)
+                        sub = bmm(sub, jnp.swapaxes(Pk_ids, -1, -2))
                     else:
                         sub = jnp.pad(sub, ((0, 0), (0, 0), (0, W - sub.shape[2])))
                     blocks = blocks.at[c_slot_tab[role][ids]].add(sub)

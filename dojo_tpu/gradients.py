@@ -210,7 +210,13 @@ def make_rollout_linearize_minimal(
         state = minimal_to_maximal(topo, params, y)
         return init_w(state.v, state.w, params)
 
-    return step_w, linearize, w_seed
+    # jit-wrap the pair: step_w appears in BOTH the rollout and the
+    # line-search forward scan bodies of every MPC solve, and linearize in
+    # the knot vmap — nested jit traces each once and reuses the cached
+    # jaxpr at every call site (measured: tracing the trot-MPC graph is
+    # ~8 min on a 1-core host without this; the compiled result is
+    # identical since XLA inlines the calls).
+    return jax.jit(step_w), jax.jit(linearize), w_seed
 
 
 def minimal_jacobians(topo: Topology, opts: SolverOptions = SolverOptions()):

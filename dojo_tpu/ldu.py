@@ -17,8 +17,52 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.custom_batching import custom_vmap
 
 from .graph import Schedule
+
+
+@custom_vmap
+def _bmm1(A, B):
+    """(m,i,j) @ (m,j,k) → (m,i,k) with EXACTLY one batch dimension.
+
+    The custom vmap rule below merges every stacked vmap axis into the m
+    dimension, so however many vmaps wrap the solver (scenario lanes ×
+    trajectory knots × …), XLA always sees a single-batch-dim dot_general.
+    Without this, a ≥3-batch-dim dot of small (14,14) blocks gets rewritten
+    by XLA:TPU into a base-dilated convolution that fails the compiler's
+    own shape verification ("Expected instruction to have shape equal to
+    f32[16,32,40,14,14]…", observed on the trot-MPC linearize)."""
+    return jnp.einsum("mij,mjk->mik", A, B)
+
+
+@_bmm1.def_vmap
+def _bmm1_vmap(axis_size, in_batched, A, B):
+    ab, bb = in_batched
+    if not ab:
+        A = jnp.broadcast_to(A, (axis_size,) + A.shape)
+    if not bb:
+        B = jnp.broadcast_to(B, (axis_size,) + B.shape)
+    m = A.shape[1]
+    out = _bmm1(
+        A.reshape((-1,) + A.shape[2:]), B.reshape((-1,) + B.shape[2:])
+    )
+    return out.reshape((axis_size, m) + out.shape[-2:]), True
+
+
+def bmm(A, B):
+    """Batched matmul (…, m, i, j) @ (…, m, j, k) — any number of leading
+    dims, all collapsed into one batch dim before the dot (see _bmm1)."""
+    lead = A.shape[:-2]
+    out = _bmm1(
+        A.reshape((-1,) + A.shape[-2:]), B.reshape((-1,) + B.shape[-2:])
+    )
+    return out.reshape(lead + out.shape[-2:])
+
+
+def bmv(A, v):
+    """Batched matvec (…, m, i, j) @ (…, m, j) via bmm."""
+    return bmm(A, v[..., None])[..., 0]
 
 
 def gj_inverse(D, n):
@@ -44,7 +88,9 @@ def gj_inverse(D, n):
         p = jnp.argmax(mag, axis=-1)  # (...,)
         onehot_p = (idx == p[..., None]).astype(dtype)  # (..., W)
         ek = (idx == k).astype(dtype)  # (W,)
-        Mp = jnp.einsum("...r,...rc->...c", onehot_p, M)  # pivot row
+        # pivot row via multiply-reduce (a dot here picks up every
+        # enclosing vmap as an extra batch dim — see _bmm1)
+        Mp = jnp.sum(onehot_p[..., None] * M, axis=-2)
         Mk = M[..., k, :]
         M = (
             M
@@ -94,7 +140,7 @@ def blu_factor(D, n):
         ek = (idx == k).astype(dtype)
         for Mat in range(2):
             T = M if Mat == 0 else PS
-            Tp = jnp.einsum("...r,...rc->...c", onehot_p, T)
+            Tp = jnp.sum(onehot_p[..., None] * T, axis=-2)
             Tk = T[..., k, :]
             T = (
                 T
@@ -130,7 +176,7 @@ def blu_solve(LU, PS, B):
     vec = B.ndim == LU.ndim - 1
     if vec:
         B = B[..., None]
-    y = jnp.einsum("...ij,...jc->...ic", PS, B)
+    y = bmm(PS, B)
     idx = jnp.arange(W)
     for j in range(W - 1):  # forward: unit-lower
         colj = LU[..., :, j, None] * (idx > j).astype(LU.dtype)[:, None]
@@ -194,7 +240,7 @@ def make_ldu(sched: Schedule):
                 inv = jnp.asarray(lv.upd_inv)
                 Cb = blocks[jnp.asarray(lv.upd_ib)]
                 Y = blu_solve(LU[inv], PS[inv], Cb)  # D⁻¹·C via solves
-                delta = jnp.einsum("mij,mjk->mik", A, Y)
+                delta = bmm(A, Y)
                 blocks = blocks.at[jnp.asarray(lv.upd_tgt)].add(-delta)
         return blocks, LU, PS
 
@@ -211,7 +257,7 @@ def make_ldu(sched: Schedule):
                 y = blu_solve(LU[i], PS[i], b[i])
                 Eai = blocks[jnp.asarray(lv.fwd_ai)]
                 b = b.at[jnp.asarray(lv.fwd_a)].add(
-                    -jnp.einsum("fij,fj->fi", Eai, y)
+                    -bmv(Eai, y)
                 )
         # backward: root → leaves,  x_i = D_i⁻¹ (b_i - Σ E_{i,a} x_a)
         x = jnp.zeros((N, W), dtype)
@@ -219,9 +265,7 @@ def make_ldu(sched: Schedule):
             acc = b
             if lv.bwd_i.size:
                 Eia = blocks[jnp.asarray(lv.bwd_ia)]
-                contrib = jnp.einsum(
-                    "gij,gj->gi", Eia, x[jnp.asarray(lv.bwd_a)]
-                )
+                contrib = bmv(Eia, x[jnp.asarray(lv.bwd_a)])
                 acc = acc.at[jnp.asarray(lv.bwd_i)].add(-contrib)
             nodes = jnp.asarray(lv.nodes)
             x = x.at[nodes].set(
@@ -241,7 +285,7 @@ def make_ldu(sched: Schedule):
         dtype = v.dtype
         vp = jnp.concatenate([v, jnp.zeros((1,), dtype)])
         xv = vp[vec_idx]  # (N,W)
-        contrib = jnp.einsum("sij,sj->si", blocks, xv[slot_b_j])  # (S,W)
+        contrib = bmv(blocks, xv[slot_b_j])  # (S,W)
         y = jnp.zeros((N, W), dtype).at[slot_a_j].add(contrib)
         out = jnp.zeros((v.shape[0] + 1,), dtype)
         out = out.at[vec_idx.reshape(-1)].add(

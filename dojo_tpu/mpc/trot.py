@@ -37,6 +37,13 @@ class TrotSpec(NamedTuple):
     calf_stand: float = -np.pi / 2
     thigh_swing: float = 0.30  # swing-phase thigh lift amplitude
     calf_swing: float = 0.30  # swing-phase calf curl amplitude
+    # fore-aft thigh sweep: the propulsion term.  cos(φ) runs −1→+1 over
+    # the stance window (sin φ < 0), so with sweep > 0 the stance foot
+    # sweeps from front to back — pushing the body forward — and returns
+    # forward during the lifted swing window.  A lift-only gait (sweep=0)
+    # has no propulsion and drifts BACKWARD under tracking (measured
+    # forward_progress_frac −0.5 on the first hardware MPC run).
+    sweep: float = 0.25
 
 
 def _layout(mech):
@@ -68,7 +75,11 @@ def trot_reference(mech, t0, horizon, dt, spec: TrotSpec = TrotSpec()):
     ref = ref.at[:, b + 6].set(spec.vx)  # forward velocity
     for g in GROUPS:
         sw = jnp.maximum(jnp.sin(phi + PHASE[g]), 0.0)  # swing window
-        thigh = spec.thigh_stand - spec.thigh_swing * sw
+        thigh = (
+            spec.thigh_stand
+            - spec.thigh_swing * sw
+            + spec.sweep * jnp.cos(phi + PHASE[g])  # stance propulsion
+        )
         calf = spec.calf_stand - spec.calf_swing * sw
         ref = ref.at[:, offs[f"{g}_thigh_joint"]].set(thigh)
         ref = ref.at[:, offs[f"{g}_calf_joint"]].set(calf)

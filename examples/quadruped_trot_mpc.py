@@ -57,8 +57,8 @@ def main(K=20, out="quadruped_trot.html", H=40, DT=0.05, resume=False):
     n_packed = mech.topo.input_dim
 
     @jax.jit
-    def control_step(params, y, us_warm, w, t0):
-        u0, us_next, c, okf = mpc(params, y, us_warm, ref_fn(t0))
+    def control_step(params, y, us_warm, w, goals):
+        u0, us_next, c, okf = mpc(params, y, us_warm, goals)
         u_full = jnp.zeros(n_packed, u0.dtype).at[act].set(u0)
         y2, w2, _, ok = plant_step(params, y, u_full, w)
         return y2, us_next, w2, c, okf, ok
@@ -81,7 +81,7 @@ def main(K=20, out="quadruped_trot.html", H=40, DT=0.05, resume=False):
     traj = [np.asarray(y)]
     for k in range(k0, K):
         y, us_warm, w, c, okf, ok = control_step(
-            mech.params, y, us_warm, w, jnp.float32(k * DT)
+            mech.params, y, us_warm, w, ref_fn(jnp.float32(k * DT))
         )
         traj.append(np.asarray(y))
         print(f"k={k:3d} cost={float(c):9.3f} mpc_ok={float(okf):.2f} "

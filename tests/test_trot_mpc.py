@@ -42,8 +42,8 @@ def test_trot_mpc_walks():
     n_packed = mech.topo.input_dim
 
     @jax.jit
-    def control_step(params, y, us_warm, w, t0):
-        u0, us_next, c, okf = mpc(params, y, us_warm, ref_fn(t0))
+    def control_step(params, y, us_warm, w, goals):
+        u0, us_next, c, okf = mpc(params, y, us_warm, goals)
         u_full = jnp.zeros(n_packed, u0.dtype).at[act].set(u0)
         y2, w2, _, ok = plant_step(params, y, u_full, w)
         return y2, us_next, w2, c, okf, ok
@@ -53,7 +53,7 @@ def test_trot_mpc_walks():
     okfs, oks, min_sdf = [], [], np.inf
     for k in range(K):
         y, us_warm, w, c, okf, ok = control_step(
-            mech.params, y, us_warm, w, jnp.asarray(k * DT, y.dtype)
+            mech.params, y, us_warm, w, ref_fn(jnp.asarray(k * DT, y.dtype))
         )
         okfs.append(float(okf))
         oks.append(bool(ok))

@@ -40,17 +40,11 @@ TARGET_STEPS = 40000.0  # raw-steps anchor used since round 1
 
 def _enable_compile_cache():
     """Persistent XLA cache for relay/TPU runs (NOT shared with the local
-    CPU test cache — relay-compiled CPU AOT blobs segfault this host)."""
-    import jax
+    CPU test cache — relay-compiled CPU AOT blobs segfault this host).
+    Lives under the repo (not /tmp, which is wiped between sessions)."""
+    from dojo_tpu.cachedir import enable_compile_cache
 
-    try:
-        if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-            jax.config.update(
-                "jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache"
-            )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable_compile_cache()
 
 
 # --------------------------------------------------------------------------

@@ -29,7 +29,8 @@ import numpy as np
 if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     # default: the relay/TPU cache — NOT safe for local CPU runs (set the
     # env var to /tmp/dojo_tpu_xla_cache_local for those)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache")
+    from dojo_tpu.cachedir import repo_cache_dir
+    jax.config.update("jax_compilation_cache_dir", repo_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

@@ -11,7 +11,8 @@ Run: PYTHONPATH=. JAX_PLATFORMS=cpu python examples/sysid_sphere.py
 import jax
 
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache")
+from dojo_tpu.cachedir import repo_cache_dir
+jax.config.update("jax_compilation_cache_dir", repo_cache_dir())
 
 import jax.numpy as jnp
 import numpy as np

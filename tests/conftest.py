@@ -23,7 +23,8 @@ jax.config.update("jax_enable_x64", True)
 # axon relay AOT-compiles CPU executables for ITS machine (avx512+amx);
 # loading those here warns "could lead to execution errors such as SIGILL"
 # and the full suite has segfaulted doing so.  Local-only cache:
-jax.config.update("jax_compilation_cache_dir", "/tmp/dojo_tpu_xla_cache_local")
+from dojo_tpu.cachedir import repo_cache_dir
+jax.config.update("jax_compilation_cache_dir", repo_cache_dir("local"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 

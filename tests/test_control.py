@@ -36,7 +36,8 @@ def test_cartpole_lqr_stabilizes(tmp_path):
     )
     env = dict(os.environ)
     env.setdefault("JAX_PLATFORMS", "cpu")
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dojo_tpu_xla_cache_local")
+    from dojo_tpu.cachedir import repo_cache_dir
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", repo_cache_dir("local"))
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     subprocess.run([sys.executable, "-c", code], check=True, env=env,
                    timeout=1800)

@@ -339,6 +339,11 @@ def _run_phase(name, timeout_s, extra_env=None):
                 pass
     print(f"bench phase {name}: rc={rc} parsed={result is not None}",
           file=sys.stderr)
+    if result is not None:
+        # keep every phase's numbers on record (stdout carries only the
+        # final best line for the driver)
+        print(f"bench phase {name} result: {json.dumps(result)}",
+              file=sys.stderr)
     return result
 
 

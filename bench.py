@@ -47,6 +47,24 @@ def _enable_compile_cache():
     enable_compile_cache()
 
 
+def _cache_entries():
+    """Number of files in the XLA compile cache (cache-hit telemetry: a
+    compile that added no files was served from the persistent cache)."""
+    from dojo_tpu.cachedir import repo_cache_dir
+
+    try:
+        return len(os.listdir(repo_cache_dir()))
+    except OSError:
+        return 0
+
+
+def _device_kind():
+    import jax
+
+    d = jax.devices()[0]
+    return f"{d.platform}:{getattr(d, 'device_kind', '?')}"
+
+
 # --------------------------------------------------------------------------
 # phase: steps — raw contact-step throughput
 # --------------------------------------------------------------------------
@@ -74,31 +92,48 @@ def phase_steps():
     batt = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), state)
     u = jnp.zeros((B, mech.topo.nj, 6), dtype=jnp.float32)
 
+    # steady-state steps warm-start the solver from the previous step's
+    # solution (StepInfo.w → init_w(w_prev) re-centering), exactly the
+    # reference's warm start from previous velocities (mechanism/set.jl:21-24
+    # + our cone re-centering) — roughly halves Newton iterations
     @jax.jit
-    def batched(params, st, u):
-        st2, info = jax.vmap(step, in_axes=(None, 0, 0))(params, st, u)
-        return st2, info.success, info.iterations
+    def batched(params, st, u, w_prev):
+        st2, info = jax.vmap(
+            lambda s, uu, wp: step(params, s, uu, w_prev=wp),
+        )(st, u, w_prev)
+        return st2, info.w, info.success, info.iterations
 
+    @jax.jit
+    def batched_cold(params, st, u):
+        st2, info = jax.vmap(step, in_axes=(None, 0, 0))(params, st, u)
+        return st2, info.w, info.success, info.iterations
+
+    n_cache0 = _cache_entries()
     t_c = time.perf_counter()
-    st, ok, it = batched(mech.params, batt, u)
+    st, w, ok, it = batched_cold(mech.params, batt, u)
+    st, w, ok, it = batched(mech.params, st, u, w)
     jax.block_until_ready(st)
     t_c = time.perf_counter() - t_c
+    it_cold = float(np.mean(np.asarray(it)))
     t0 = time.perf_counter()
     for _ in range(K):
-        st, ok, it = batched(mech.params, st, u)
+        st, w, ok, it = batched(mech.params, st, u, w)
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
     sps = B * K / dt
     print(
         json.dumps(
             {
-                "metric": f"quadruped contact-dynamics steps/s/chip (B={B}, h=0.05)",
+                "metric": f"quadruped contact-dynamics steps/s/chip (B={B}, h=0.05, warm-started)",
                 "value": round(sps, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / TARGET_STEPS, 4),
                 "solver_success_rate": round(float(np.mean(np.asarray(ok))), 4),
                 "mean_newton_iters": round(float(np.mean(np.asarray(it))), 1),
+                "cold_newton_iters": round(it_cold, 1),
                 "compile_s": round(t_c, 1),
+                "device": _device_kind(),
+                "cache_hit": _cache_entries() == n_cache0,
             }
         ),
         flush=True,
@@ -121,13 +156,17 @@ def phase_mpc():
     from dojo_tpu.core import SolverOptions
     from dojo_tpu.gradients import make_rollout_linearize_minimal
     from dojo_tpu.minimal import maximal_to_minimal
-    from dojo_tpu.mpc import ILQRConfig, TrotSpec, make_trot_mpc
+    from dojo_tpu.mpc import ILQRConfig, TrotSpec, make_trot_mpc, make_trot_rti
     from dojo_tpu.mpc.trot import actuated_indices
 
     B_full = int(os.environ.get("BENCH_MPC_B", "128"))
     B_small = int(os.environ.get("BENCH_MPC_B_SMALL", "32"))
     K = int(os.environ.get("BENCH_MPC_K", "10"))
     ITERS = int(os.environ.get("BENCH_ITERS", "1"))
+    # "rti": real-time-iteration controller (one linearize+Riccati+forward
+    # per control step, H sequential contact solves — mpc/ilqr.make_rti_mpc);
+    # "ilqr": full re-solve (rollout + line-searched forward, 2H+1 solves)
+    MODE = os.environ.get("BENCH_MPC_MODE", "rti")
     # knot-chunked linearize (lax.map) is OFF by default on TPU: the
     # scan-of-vmap batched-matmul pattern trips an XLA:TPU mis-rewrite into
     # a base-dilated convolution ("Expected instruction to have shape equal
@@ -150,13 +189,23 @@ def phase_mpc():
     # rescue=False: failures are data for the controller (BASELINE.md) —
     # halves the compiled program vs the dense-rescue second pass
     mpc_opts = SolverOptions(rtol=1e-4, btol=1e-3, max_iter=12, rescue=False)
-    mpc, ref_fn = make_trot_mpc(
-        mech, horizon=H, spec=spec,
-        config=ILQRConfig(
-            iterations=ITERS, alphas=(1.0, 0.5), linearize_chunk=CHUNK
-        ),
-        opts=mpc_opts, dt=DT,
-    )
+    if MODE == "rti":
+        rti_init, mpc, ref_fn = make_trot_rti(
+            mech, horizon=H, spec=spec,
+            config=ILQRConfig(alphas=(1.0,), linearize_chunk=CHUNK),
+            opts=mpc_opts, dt=DT,
+        )
+        steps_per_solve = H + 1  # forward rollout + plant step
+    else:
+        mpc, ref_fn = make_trot_mpc(
+            mech, horizon=H, spec=spec,
+            config=ILQRConfig(
+                iterations=ITERS, alphas=(1.0, 0.5), linearize_chunk=CHUNK
+            ),
+            opts=mpc_opts, dt=DT,
+        )
+        # rollout H + iters * (n_alpha * H fwd) + plant step
+        steps_per_solve = H * (1 + ITERS * 2) + 1
     # plant: tighter tolerances than the controller's relaxed solves
     plant_opts = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30)
     plant_step, _, plant_seed = make_rollout_linearize_minimal(
@@ -166,19 +215,23 @@ def phase_mpc():
     n_packed = mech.topo.input_dim
 
     # goals computed OUTSIDE the jit and passed as data: gait-parameter
-    # changes (TrotSpec) then never recompile the 30-min control_step graph
+    # changes (TrotSpec) then never recompile the 30-min control_step graph.
+    # Both controller modes share the carry signature
+    # mpc(params, y, <carried>, goals) → (u0, <carried>', c, okf):
+    # <carried> is the warm-start control sequence (ilqr) or the RTIState
+    # trajectory (rti).
     @jax.jit
-    def control_step(params, ys, us_warm, w_plant, goals):
-        u0, us_next, c, okf = jax.vmap(
+    def control_step(params, ys, ctrl, w_plant, goals):
+        u0, ctrl2, c, okf = jax.vmap(
             mpc, in_axes=(None, 0, 0, None)
-        )(params, ys, us_warm, goals)
+        )(params, ys, ctrl, goals)
         u_full = jax.vmap(
             lambda u: jnp.zeros(n_packed, u.dtype).at[act].set(u)
         )(u0)
         ys2, w2, _, ok = jax.vmap(
             plant_step, in_axes=(None, 0, 0, 0)
         )(params, ys, u_full, w_plant)
-        return ys2, us_next, w2, c, okf, ok
+        return ys2, ctrl2, w2, c, okf, ok
 
     def make_batch(B):
         rng = np.random.default_rng(0)
@@ -188,13 +241,21 @@ def phase_mpc():
         ys = jnp.asarray(np.asarray(y0)[None] + pert)
         us_warm = jnp.zeros((B, H, 12), dtype=jnp.float32)
         w_plant = jax.vmap(lambda y: plant_seed(mech.params, y))(ys)
-        return ys, us_warm, w_plant
+        if MODE == "rti":
+            goals0 = ref_fn(jnp.float32(0.0))
+            ctrl = jax.jit(
+                jax.vmap(rti_init, in_axes=(None, 0, 0, None))
+            )(mech.params, ys, us_warm, goals0)
+        else:
+            ctrl = us_warm
+        return ys, ctrl, w_plant
 
     def run_config(B, label_extra=""):
-        ys, us_warm, w_plant = make_batch(B)
+        ys, ctrl, w_plant = make_batch(B)
         goals0 = jax.block_until_ready(ref_fn(jnp.float32(0.0)))
+        n_cache0 = _cache_entries()
         t_compile = time.perf_counter()
-        out = control_step(mech.params, ys, us_warm, w_plant, goals0)
+        out = control_step(mech.params, ys, ctrl, w_plant, goals0)
         jax.block_until_ready(out)
         t_compile = time.perf_counter() - t_compile
 
@@ -204,8 +265,8 @@ def phase_mpc():
         t_all = time.perf_counter()
         for k in range(K):
             t0 = time.perf_counter()
-            ys, us_warm, w_plant, c, okf, ok = control_step(
-                mech.params, ys, us_warm, w_plant, ref_fn(jnp.float32(k * DT))
+            ys, ctrl, w_plant, c, okf, ok = control_step(
+                mech.params, ys, ctrl, w_plant, ref_fn(jnp.float32(k * DT))
             )
             jax.block_until_ready(ys)
             lat.append(time.perf_counter() - t0)
@@ -229,8 +290,6 @@ def phase_mpc():
 
         solves_per_s = B * K / t_all
         p50_ms = float(np.median(lat) * 1e3)
-        # contact solves per MPC solve: rollout H + iters * (n_alpha * H fwd)
-        steps_per_solve = H * (1 + ITERS * 2) + 1  # +1 plant step
         adv = float(np.mean(np.asarray(ys)[:, 0]) - np.mean(np.asarray(y0)[0]))
         cmd = spec.vx * K * DT
         print(
@@ -238,7 +297,7 @@ def phase_mpc():
                 {
                     "metric": (
                         f"quadruped trot contact-MPC solves/s/chip "
-                        f"(H={H}, dt={DT}, B={B}, iLQR iters={ITERS}"
+                        f"(H={H}, dt={DT}, B={B}, {MODE}"
                         f"{label_extra})"
                     ),
                     "value": round(solves_per_s, 1),
@@ -256,6 +315,8 @@ def phase_mpc():
                         round(adv / cmd, 3) if cmd else None
                     ),
                     "compile_s": round(t_compile, 1),
+                    "device": _device_kind(),
+                    "cache_hit": _cache_entries() == n_cache0,
                 }
             ),
             flush=True,

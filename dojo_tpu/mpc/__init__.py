@@ -6,5 +6,18 @@ LQR on cartpole, MPC via external packages); here trajectory optimization is
 a first-class, jit/vmap-native subsystem built on the IFT-differentiable
 step."""
 
-from .ilqr import ILQRConfig, QuadCost, make_ilqr, make_mpc_controller
-from .trot import TrotSpec, actuated_indices, make_trot_mpc, trot_reference
+from .ilqr import (
+    ILQRConfig,
+    QuadCost,
+    RTIState,
+    make_ilqr,
+    make_mpc_controller,
+    make_rti_mpc,
+)
+from .trot import (
+    TrotSpec,
+    actuated_indices,
+    make_trot_mpc,
+    make_trot_rti,
+    trot_reference,
+)

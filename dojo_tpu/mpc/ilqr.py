@@ -51,7 +51,12 @@ class ILQRConfig(NamedTuple):
     # (8,128) tiling pads 196 floats to 2048 (10.4×) — at B=512, H=40 that
     # was ~640 MB per buffer and OOM'd a v5e chip (BENCH_r02).  Chunking
     # caps the live set at (B, chunk, ...) with identical results.
-    linearize_chunk: int = 8
+    # DEFAULT 0 (off): the scan-of-vmap batched-matmul pattern the chunked
+    # path emits trips an XLA:TPU mis-rewrite into a base-dilated
+    # convolution (internal compiler error, BASELINE.md r3) — with the
+    # default a library user calling make_trot_mpc() on TPU must not hit a
+    # compiler crash.  Opt in explicitly for CPU/long-horizon runs.
+    linearize_chunk: int = 0
 
 
 def _mat(d, n):
@@ -59,19 +64,26 @@ def _mat(d, n):
     return jnp.diag(jnp.broadcast_to(d, (n,))) if d.ndim <= 1 else d
 
 
-def make_ilqr(topo: Topology, cost: QuadCost, horizon: int,
-              config: ILQRConfig = ILQRConfig(),
-              opts: SolverOptions = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=20),
-              act_idx=None, linsolve: str = "auto"):
-    """Build ilqr(params, y0, us_init) → (us, ys, total_cost).
+class _Parts(NamedTuple):
+    """Shared iLQR building blocks (closures) used by both the full iLQR
+    loop (make_ilqr) and the real-time-iteration controller (make_rti_mpc)."""
 
-    Jittable; vmap over (y0, us_init) for scenario batches.
+    step_w: object
+    w_seed: object
+    rollout: object
+    linearize: object
+    backward: object
+    forward: object
+    stage_cost: object
+    term_cost: object
+    default_goals: object
+    nu: int
+    ny: int
 
-    act_idx: optional index list into the packed input vector selecting the
-    actuated coordinates (reference input_map, e.g. quadruped_waypoint.jl:55
-    pads 6 zeros for the unactuated trunk).  The iLQR control dimension
-    becomes len(act_idx).
-    """
+
+def _make_parts(topo: Topology, cost: QuadCost, horizon: int,
+                config: ILQRConfig, opts: SolverOptions,
+                act_idx=None, linsolve: str = "auto") -> _Parts:
     step_w_full, linearize_full, w_seed_full = make_rollout_linearize_minimal(
         topo, opts, linsolve=linsolve
     )
@@ -192,6 +204,32 @@ def make_ilqr(topo: Topology, cost: QuadCost, horizon: int,
         ) + term_cost(ys2[-1], goals[-1])
         return ys2, us2, c, (ws, mus, oks)
 
+    return _Parts(
+        step_w=step_w, w_seed=w_seed_full, rollout=rollout,
+        linearize=linearize, backward=backward, forward=forward,
+        stage_cost=stage_cost, term_cost=term_cost,
+        default_goals=default_goals, nu=nu, ny=ny,
+    )
+
+
+def make_ilqr(topo: Topology, cost: QuadCost, horizon: int,
+              config: ILQRConfig = ILQRConfig(),
+              opts: SolverOptions = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=20),
+              act_idx=None, linsolve: str = "auto"):
+    """Build ilqr(params, y0, us_init) → (us, ys, total_cost).
+
+    Jittable; vmap over (y0, us_init) for scenario batches.
+
+    act_idx: optional index list into the packed input vector selecting the
+    actuated coordinates (reference input_map, e.g. quadruped_waypoint.jl:55
+    pads 6 zeros for the unactuated trunk).  The iLQR control dimension
+    becomes len(act_idx).
+    """
+    p = _make_parts(topo, cost, horizon, config, opts, act_idx, linsolve)
+    rollout, linearize, backward, forward = (
+        p.rollout, p.linearize, p.backward, p.forward
+    )
+    default_goals, w_seed_full = p.default_goals, p.w_seed
     alphas = jnp.asarray(config.alphas)
 
     def ilqr(params: Params, y0, us_init, goals=None):
@@ -251,3 +289,78 @@ def make_mpc_controller(topo: Topology, cost: QuadCost, horizon: int,
         return us[0], us_next, c, okf
 
     return mpc
+
+
+class RTIState(NamedTuple):
+    """Carried trajectory of a real-time-iteration MPC: the last forward
+    pass's knot states, controls, and per-knot contact-solver solutions
+    (the linearization points for the next control step)."""
+
+    ys: jax.Array  # (H+1, ny)
+    us: jax.Array  # (H, nu)
+    ws: jax.Array  # (H, dim) solver solutions at each knot
+    mus: jax.Array  # (H,) relaxed complementarity targets
+
+
+def make_rti_mpc(topo: Topology, cost: QuadCost, horizon: int,
+                 config: ILQRConfig = ILQRConfig(),
+                 opts: SolverOptions = SolverOptions(
+                     rtol=1e-4, btol=1e-3, max_iter=12),
+                 act_idx=None, linsolve: str = "auto"):
+    """Real-time-iteration receding-horizon MPC (Diehl-style RTI).
+
+    Where make_mpc_controller re-rolls the trajectory AND line-searches a
+    fresh forward pass every control step (2H+1 sequential contact solves),
+    the RTI scheme linearizes at the PREVIOUS control step's forward pass
+    (shifted one knot — zero new contact solves) and runs exactly ONE
+    forward rollout with the new Riccati gains: H sequential solves per
+    control step, half the depth and roughly half the compiled graph.  The
+    feedback gains K absorb the one-step staleness of the linearization —
+    the standard real-time-iteration argument.
+
+    Returns (init, mpc):
+      init(params, y0, us_init, goals) → RTIState     (one cold rollout)
+      mpc(params, y, state, goals) → (u0, state2, c, okf)
+    Both jittable; vmap over (y0/y, state) for scenario batches.
+    """
+    p = _make_parts(topo, cost, horizon, config, opts, act_idx, linsolve)
+    alpha0 = float(config.alphas[0])
+
+    def init(params: Params, y0, us_init, goals=None):
+        goals = p.default_goals if goals is None else goals
+        wseed = p.w_seed(params, y0)
+        ys, c, (ws, mus, oks) = p.rollout(params, y0, us_init, goals, wseed)
+        return RTIState(ys=ys, us=us_init, ws=ws, mus=mus)
+
+    def mpc(params: Params, y, st: RTIState, goals=None):
+        goals = p.default_goals if goals is None else goals
+        # receding-horizon shift: knot k ← stored knot k+1 (last repeated).
+        # Each shifted (y, u, w) triple stays a consistent solver solution,
+        # so the IFT linearization is exact at every knot.
+        ys_s = jnp.concatenate([st.ys[1:], st.ys[-1:]], axis=0)
+        us_s = jnp.concatenate([st.us[1:], st.us[-1:]], axis=0)
+        ws_s = jnp.concatenate([st.ws[1:], st.ws[-1:]], axis=0)
+        mus_s = jnp.concatenate([st.mus[1:], st.mus[-1:]], axis=0)
+
+        As, Bs = p.linearize(params, ys_s, us_s, ws_s, mus_s)
+        reg = jnp.asarray(config.reg_init, y.dtype)
+        ks, Ks, _ = p.backward(As, Bs, ys_s, us_s, reg, goals)
+
+        def body(carry, inp):
+            y_c, w_prev = carry
+            y_ref, u_ref, k, K = inp
+            u = u_ref + alpha0 * k + K @ (y_c - y_ref)
+            y2, w, mu, ok = p.step_w(params, y_c, u, w_prev=w_prev)
+            return (y2, w), (y2, u, w, mu, ok)
+
+        (_, _), (ys2, us2, ws2, mus2, oks) = jax.lax.scan(
+            body, (y, ws_s[0]), (ys_s[:-1], us_s, ks, Ks)
+        )
+        ys2 = jnp.concatenate([y[None], ys2], axis=0)
+        c = jnp.sum(
+            jax.vmap(p.stage_cost)(ys2[:-1], us2, goals[:-1])
+        ) + p.term_cost(ys2[-1], goals[-1])
+        okf = jnp.mean(oks.astype(y.dtype))
+        return us2[0], RTIState(ys=ys2, us=us2, ws=ws2, mus=mus2), c, okf
+
+    return init, mpc

@@ -19,7 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import SolverOptions
-from .ilqr import ILQRConfig, QuadCost, make_ilqr, make_mpc_controller
+from .ilqr import (
+    ILQRConfig,
+    QuadCost,
+    make_ilqr,
+    make_mpc_controller,
+    make_rti_mpc,
+)
 
 GROUPS = ("FR", "FL", "RR", "RL")
 # diagonal pairs: FR+RL swing together, FL+RR half a period later
@@ -153,3 +159,31 @@ def make_trot_mpc(mech, horizon=40, spec: TrotSpec = TrotSpec(),
         return trot_reference(mech, t0, horizon, dt, spec)
 
     return mpc, ref_fn
+
+
+def make_trot_rti(mech, horizon=40, spec: TrotSpec = TrotSpec(),
+                  config: ILQRConfig = ILQRConfig(alphas=(1.0,)),
+                  opts: SolverOptions = SolverOptions(
+                      rtol=1e-4, btol=1e-3, max_iter=12, rescue=False),
+                  dt=None, linsolve: str = "auto"):
+    """Real-time-iteration trot controller: one linearize + Riccati +
+    forward rollout per control step (H sequential contact solves instead of
+    make_trot_mpc's 2H+1 — see mpc/ilqr.py make_rti_mpc).
+
+    Returns (init, mpc, ref_fn):
+      init(params, y0, us_init, goals) → RTIState
+      mpc(params, y, state, goals) → (u0, state2, cost, okf)
+      ref_fn(t0) → (H+1, ny) gait reference starting at phase t0.
+    """
+    dt = float(mech.params.timestep) if dt is None else dt
+    cost = trot_cost(mech)
+    act = actuated_indices(mech)
+    init, mpc = make_rti_mpc(
+        mech.topo, cost, horizon, config=config, opts=opts, act_idx=act,
+        linsolve=linsolve,
+    )
+
+    def ref_fn(t0):
+        return trot_reference(mech, t0, horizon, dt, spec)
+
+    return init, mpc, ref_fn

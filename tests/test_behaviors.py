@@ -164,3 +164,53 @@ def test_atlas_drop_balance():
     z = float(np.asarray(state.x)[0, 2])
     assert z > z0 - 0.25, (z, z0)  # still standing, not collapsed
     assert np.isfinite(np.asarray(state.pack())).all()
+
+
+def test_external_wrench_velocity_oracle():
+    """External force/torque → velocity oracle (reference
+    test/behaviors.jl:42-56 "Box external force"): a unit-mass,
+    identity-inertia free body in zero gravity accumulates v = F·t/m and
+    ω = J⁻¹τ·t under a constant external wrench — catches
+    wrench-accumulation sign/half-step bugs."""
+    from dojo_tpu import builder as bd
+
+    body = bd.Body("b", 1.0, np.eye(3))
+    mech = bd.build(
+        [body],
+        [bd.JointDef(kind="floating", parent="origin", child="b")],
+        timestep=0.01,
+        gravity=(0.0, 0.0, 0.0),
+    )
+    step = jitted_step(mech)
+    fext = jnp.asarray([[1.0, 0.0, 0.0]])  # world frame, (nb,3)
+    state = mech.zero_state()
+    for _ in range(50):  # 0.5 s
+        state, _ = step(mech.params, state, None, fext, None)
+    assert abs(float(state.v[0, 0]) - 0.5) < 1e-3, state.v
+    assert np.abs(np.asarray(state.v[0, 1:])).max() < 1e-6
+
+    text = jnp.asarray([[1.0, 0.0, 0.0]])  # body frame torque
+    state = mech.zero_state()
+    for _ in range(50):
+        state, _ = step(mech.params, state, None, None, text)
+    assert abs(float(state.w[0, 0]) - 0.5) < 1e-3, state.w
+    assert np.abs(np.asarray(state.w[0, 1:])).max() < 1e-6
+
+
+@pytest.mark.slow
+def test_dzhanibekov_flip():
+    """Intermediate-axis instability (reference test/behaviors.jl:85-100):
+    spinning the T-handle about its intermediate axis, the side body's x
+    position must flip sign (< −0.05 at some point during 4 s); a stable
+    integrator artifact would keep it positive."""
+    mech = models.get_mechanism("dzhanibekov", timestep=0.01, gravity=0.0)
+    state = models.initialize(
+        mech, "dzhanibekov", angular_velocity=(15.0, 0.01, 0.0)
+    )
+    step = jitted_step(mech)
+    min_x = np.inf
+    for _ in range(400):  # 4 s
+        state, info = step(mech.params, state, None)
+        min_x = min(min_x, float(state.x[1, 0]))
+        assert bool(info.success)
+    assert min_x < -0.05, min_x

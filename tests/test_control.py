@@ -106,3 +106,61 @@ def test_cartpole_ilqr_improves_cost():
         assert float(okf) > 0.99
         # terminal pole angle pulled toward upright
         assert abs(float(ys[-1][2])) < abs(float(y0[2])), parallel
+
+
+def test_ilqr_defaults_are_backend_safe():
+    """ILQRConfig.linearize_chunk must default OFF: the chunked (lax.map)
+    linearization's scan-of-vmap batched-matmul pattern trips an XLA:TPU
+    internal compiler error (mis-rewrite into a base-dilated convolution,
+    BASELINE.md r3), so a library user calling make_trot_mpc() with
+    defaults on TPU must never hit the chunked path."""
+    from dojo_tpu.mpc import ILQRConfig
+
+    assert ILQRConfig().linearize_chunk == 0
+
+
+@pytest.mark.slow
+def test_cartpole_rti_closed_loop():
+    """Real-time-iteration MPC (make_rti_mpc: shifted linearization + one
+    forward pass per control step) drives the displaced cartpole toward the
+    origin in closed loop against the tight plant — the RTI path must match
+    the full-iLQR controller's qualitative behavior at half the sequential
+    solve depth."""
+    from dojo_tpu.gradients import make_rollout_linearize_minimal
+    from dojo_tpu.mpc import ILQRConfig, QuadCost, make_rti_mpc
+
+    mech = models.get_mechanism("cartpole", timestep=0.02)
+    ny, nu = mech.minimal_dim, mech.input_dim
+    cost = QuadCost(
+        Q=jnp.asarray([1.0, 0.1, 5.0, 0.1]),
+        R=jnp.full((nu,), 1e-3),
+        Qf=jnp.asarray([10.0, 1.0, 50.0, 1.0]),
+        y_goal=jnp.zeros(ny),
+    )
+    opts = SolverOptions(rtol=1e-8, btol=1e-8, max_iter=10)
+    H, K = 20, 15
+    y0 = jnp.asarray([0.0, 0.0, 0.5, 0.0])
+
+    init, mpc = make_rti_mpc(
+        mech.topo, cost, H, config=ILQRConfig(alphas=(1.0,)), opts=opts
+    )
+    plant_step, _, plant_seed = make_rollout_linearize_minimal(
+        mech.topo, SolverOptions(rtol=1e-10, btol=1e-10, max_iter=20)
+    )
+    st = jax.jit(init)(mech.params, y0, jnp.zeros((H, nu)))
+    step_j = jax.jit(
+        lambda p, y, st, w: (
+            lambda u0, st2, c, okf: (u0, st2, c, okf, plant_step(p, y, u0, w))
+        )(*mpc(p, y, st, None))
+    )
+    y, w = y0, plant_seed(mech.params, y0)
+    oks = []
+    for _ in range(K):
+        u0, st, c, okf, (y, w, _, ok) = step_j(mech.params, y, st, w)
+        oks.append(float(okf))
+    yf = np.asarray(y)
+    assert np.isfinite(yf).all()
+    # pole angle pulled well toward upright, cart bounded
+    assert abs(yf[2]) < 0.25 * 0.5, yf
+    assert abs(yf[0]) < 3.0, yf
+    assert np.mean(oks) > 0.99, oks

@@ -103,28 +103,46 @@ def phase_steps():
         )(st, u, w_prev)
         return st2, info.w, info.success, info.iterations
 
-    @jax.jit
-    def batched_cold(params, st, u):
-        st2, info = jax.vmap(step, in_axes=(None, 0, 0))(params, st, u)
-        return st2, info.w, info.success, info.iterations
+    # cold start = warm graph fed the cone-neutral init point (init_w with
+    # w_prev=neutral reproduces the cold reset, so ONE compiled graph serves
+    # both phases — a second "cold" jit doubled the steps-phase compile)
+    w_neutral = jax.jit(
+        jax.vmap(lambda s: step.init_w(s.v, s.w, mech.params))
+    )(batt)
 
     n_cache0 = _cache_entries()
     t_c = time.perf_counter()
-    st, w, ok, it = batched_cold(mech.params, batt, u)
-    st, w, ok, it = batched(mech.params, st, u, w)
+    st, w, ok, it = batched(mech.params, batt, u, w_neutral)
     jax.block_until_ready(st)
     t_c = time.perf_counter() - t_c
     it_cold = float(np.mean(np.asarray(it)))
+    st, w, ok, it = batched(mech.params, st, u, w)
+    warm = True
+    if float(np.mean(np.asarray(ok))) < 0.9:
+        # warm chain unhealthy on this backend — fall back to cold-start
+        # steps (same compiled graph fed the neutral init each call)
+        warm = False
+        st = batt
     t0 = time.perf_counter()
+    oks, its = [], []
     for _ in range(K):
-        st, w, ok, it = batched(mech.params, st, u, w)
+        st, w, ok, it = batched(
+            mech.params, st, u, w if warm else w_neutral
+        )
+        oks.append(ok)
+        its.append(it)
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
+    ok = jnp.stack(oks)
+    it = jnp.stack(its)
     sps = B * K / dt
     print(
         json.dumps(
             {
-                "metric": f"quadruped contact-dynamics steps/s/chip (B={B}, h=0.05, warm-started)",
+                "metric": (
+                    f"quadruped contact-dynamics steps/s/chip (B={B}, "
+                    f"h=0.05{', warm-started' if warm else ''})"
+                ),
                 "value": round(sps, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / TARGET_STEPS, 4),

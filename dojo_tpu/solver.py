@@ -445,12 +445,24 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
             and not opts.ldu_f64
             and opts.rescue
         ):
-            # restart from w0, not the stalled endpoint: a stalled IP
-            # iterate sits near the cone boundary with poor centrality and
-            # poisons the dense re-solve (measured: warm-started rescue
-            # fails steps the cold dense solve handles in 9 iterations).
+            # restart from the cone-NEUTRAL init, not w0 and not the
+            # stalled endpoint: a stalled IP iterate sits near the cone
+            # boundary with poor centrality and poisons the dense re-solve
+            # (measured: warm-started rescue fails steps the cold dense
+            # solve handles in 9 iterations) — and when w0 itself is a
+            # warm start (w_prev from the previous step), a fresh-impact
+            # step makes w0 just as poisonous: on TPU the warm chain
+            # failed ALL lanes at the first hard-impact state while the
+            # cold solve of the same state took 14 iterations (r4 probe).
+            # Keeping w0's velocities, the cone/impulse tail is rebuilt at
+            # the strictly-feasible neutral point; for cold solves this
+            # reproduces w0 exactly, so their semantics are unchanged.
+            vel = w0[: 6 * nb].reshape(nb, 6)
+            w_cold = init_w(vel[:, :3], vel[:, 3:], params)
+            rv_c, bv_c = violations(w_cold, ctx, params, rvw, oact)
+            done_c = (rv_c < opts.rtol) & (bv_c < opts.btol)
             body_d, _ = make_iteration(ctx, params, opts, force_dense=True)
-            res2 = run(body_d, done0 | res.success, w0, rvio0, bvio0)
+            res2 = run(body_d, done_c | res.success, w_cold, rv_c, bv_c)
             pick = lambda a, b: jnp.where(res.success, a, b)
             res = SolveResult(
                 w=pick(res.w, res2.w),

@@ -78,3 +78,65 @@ def test_trot_mpc_walks():
     assert np.mean(oks) >= 0.9, np.mean(oks)
     # no foot penetration beyond solver slack (behaviors.jl SDF ≥ 0)
     assert min_sdf >= -1e-3, min_sdf
+
+
+@pytest.mark.slow
+def test_trot_rti_walks():
+    """RTI variant of the north-star closed loop (bench.py MODE=rti): the
+    real-time-iteration controller — shifted linearization + one forward
+    pass per control step — must also make the quadruped walk forward."""
+    from dojo_tpu.mpc import make_trot_rti
+
+    H, DT, K = 40, 0.05, 40  # 2 s closed loop
+    mech = models.get_mechanism("quadruped", timestep=DT)
+    state0 = models.initialize(mech, "quadruped")
+    y = maximal_to_minimal(mech.topo, mech.params, state0)
+    x0 = float(np.asarray(y)[0])
+
+    spec = TrotSpec()
+    init, mpc, ref_fn = make_trot_rti(
+        mech, horizon=H, spec=spec,
+        config=ILQRConfig(alphas=(1.0,)),
+        opts=SolverOptions(rtol=1e-4, btol=1e-3, max_iter=12, rescue=False),
+        dt=DT,
+    )
+    plant_step, _, plant_seed = make_rollout_linearize_minimal(
+        mech.topo, SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30)
+    )
+    act = jnp.asarray(actuated_indices(mech))
+    n_packed = mech.topo.input_dim
+
+    @jax.jit
+    def control_step(params, y, st, w, goals):
+        u0, st2, c, okf = mpc(params, y, st, goals)
+        u_full = jnp.zeros(n_packed, u0.dtype).at[act].set(u0)
+        y2, w2, _, ok = plant_step(params, y, u_full, w)
+        return y2, st2, w2, c, okf, ok
+
+    st = jax.jit(init)(
+        mech.params, y, jnp.zeros((H, 12), dtype=y.dtype),
+        ref_fn(jnp.asarray(0.0, y.dtype)),
+    )
+    w = plant_seed(mech.params, y)
+    okfs, oks, min_sdf = [], [], np.inf
+    for k in range(K):
+        y, st, w, c, okf, ok = control_step(
+            mech.params, y, st, w, ref_fn(jnp.asarray(k * DT, y.dtype))
+        )
+        okfs.append(float(okf))
+        oks.append(bool(ok))
+        state = minimal_to_maximal(mech.topo, mech.params, y)
+        min_sdf = min(
+            min_sdf,
+            float(np.asarray(
+                dt.signed_distances(mech.topo, mech.params, state)
+            ).min()),
+        )
+        assert np.isfinite(np.asarray(y)).all(), k
+
+    adv = float(np.asarray(y)[0]) - x0
+    cmd = spec.vx * K * DT
+    assert adv >= 0.5 * cmd, (adv, cmd)
+    assert np.mean(okfs) >= 0.9, np.mean(okfs)
+    assert np.mean(oks) >= 0.9, np.mean(oks)
+    assert min_sdf >= -1e-3, min_sdf

@@ -174,17 +174,28 @@ def phase_mpc():
     from dojo_tpu.core import SolverOptions
     from dojo_tpu.gradients import make_rollout_linearize_minimal
     from dojo_tpu.minimal import maximal_to_minimal
-    from dojo_tpu.mpc import ILQRConfig, TrotSpec, make_trot_mpc, make_trot_rti
+    from dojo_tpu.mpc import (
+        ILQRConfig,
+        TrotSpec,
+        make_trot_mpc,
+        make_trot_rt,
+        make_trot_rti,
+        trot_gains,
+        trot_spring_params,
+    )
     from dojo_tpu.mpc.trot import actuated_indices
 
     B_full = int(os.environ.get("BENCH_MPC_B", "128"))
     B_small = int(os.environ.get("BENCH_MPC_B_SMALL", "32"))
     K = int(os.environ.get("BENCH_MPC_K", "10"))
     ITERS = int(os.environ.get("BENCH_ITERS", "1"))
+    # "rt" (default): runtime-tunable iLQR (make_trot_rt) — cost diagonals,
+    # Riccati reg, control clamp, and joint springs are traced DATA, so the
+    # tuned values never invalidate the compiled graph (BASELINE.md r4);
     # "rti": real-time-iteration controller (one linearize+Riccati+forward
     # per control step, H sequential contact solves — mpc/ilqr.make_rti_mpc);
-    # "ilqr": full re-solve (rollout + line-searched forward, 2H+1 solves)
-    MODE = os.environ.get("BENCH_MPC_MODE", "rti")
+    # "ilqr": full re-solve with baked cost (rollout + 2-alpha forward)
+    MODE = os.environ.get("BENCH_MPC_MODE", "rt")
     # knot-chunked linearize (lax.map) is OFF by default on TPU: the
     # scan-of-vmap batched-matmul pattern trips an XLA:TPU mis-rewrite into
     # a base-dilated convolution ("Expected instruction to have shape equal
@@ -207,7 +218,29 @@ def phase_mpc():
     # rescue=False: failures are data for the controller (BASELINE.md) —
     # halves the compiled program vs the dense-rescue second pass
     mpc_opts = SolverOptions(rtol=1e-4, btol=1e-3, max_iter=12, rescue=False)
-    if MODE == "rti":
+    gains = None
+    params_run = mech.params
+    if MODE == "rt":
+        # controller rescue=True: at float32, ~12% of forward-pass knots
+        # (impact steps) fail without it and poison the warm-started chain
+        # — the line search then never accepts (r4 tuning finding)
+        rt_opts = SolverOptions(rtol=1e-4, btol=1e-3, max_iter=16,
+                                rescue=True)
+        mpc, ref_fn, gains = make_trot_rt(
+            mech, horizon=H, spec=spec, opts=rt_opts, dt=DT,
+            iterations=ITERS,
+        )
+        gains = gains._replace(
+            reg=jnp.float32(float(os.environ.get("BENCH_REG", "1e-2"))),
+            du_max=jnp.float32(float(os.environ.get("BENCH_DU_MAX", "1e9"))),
+        )
+        params_run = trot_spring_params(
+            mech,
+            springs=float(os.environ.get("BENCH_SPRINGS", "20")),
+            dampers=float(os.environ.get("BENCH_DAMPERS", "2")),
+        )
+        steps_per_solve = H * (1 + ITERS * 4) + 1
+    elif MODE == "rti":
         rti_init, mpc, ref_fn = make_trot_rti(
             mech, horizon=H, spec=spec,
             config=ILQRConfig(alphas=(1.0,), linearize_chunk=CHUNK),
@@ -232,17 +265,26 @@ def phase_mpc():
     act = jnp.asarray(actuated_indices(mech))
     n_packed = mech.topo.input_dim
 
-    # goals computed OUTSIDE the jit and passed as data: gait-parameter
-    # changes (TrotSpec) then never recompile the 30-min control_step graph.
-    # Both controller modes share the carry signature
-    # mpc(params, y, <carried>, goals) → (u0, <carried>', c, okf):
-    # <carried> is the warm-start control sequence (ilqr) or the RTIState
-    # trajectory (rti).
+    # goals (and in rt mode the cost/reg/clamp gains + spring params) are
+    # computed OUTSIDE the jit and passed as data: tuning then never
+    # recompiles the 30-min control_step graph.  All controller modes share
+    # the carry signature mpc(..., y, <carried>, goals, ...) →
+    # (u0, <carried>', c, okf): <carried> is the warm-start control
+    # sequence (rt/ilqr) or the RTIState trajectory (rti).
+    if MODE == "rt":
+        def mpc_call(params, ys, ctrl, goals, gains):
+            return jax.vmap(
+                mpc, in_axes=(None, 0, 0) + (None,) * 6
+            )(params, ys, ctrl, goals, *gains)
+    else:
+        def mpc_call(params, ys, ctrl, goals, gains):
+            return jax.vmap(
+                mpc, in_axes=(None, 0, 0, None)
+            )(params, ys, ctrl, goals)
+
     @jax.jit
-    def control_step(params, ys, ctrl, w_plant, goals):
-        u0, ctrl2, c, okf = jax.vmap(
-            mpc, in_axes=(None, 0, 0, None)
-        )(params, ys, ctrl, goals)
+    def control_step(params, ys, ctrl, w_plant, goals, gains):
+        u0, ctrl2, c, okf = mpc_call(params, ys, ctrl, goals, gains)
         u_full = jax.vmap(
             lambda u: jnp.zeros(n_packed, u.dtype).at[act].set(u)
         )(u0)
@@ -258,12 +300,12 @@ def phase_mpc():
         pert[:, 6:9] = rng.normal(scale=0.02, size=(B, 3))  # base velocity
         ys = jnp.asarray(np.asarray(y0)[None] + pert)
         us_warm = jnp.zeros((B, H, 12), dtype=jnp.float32)
-        w_plant = jax.vmap(lambda y: plant_seed(mech.params, y))(ys)
+        w_plant = jax.vmap(lambda y: plant_seed(params_run, y))(ys)
         if MODE == "rti":
             goals0 = ref_fn(jnp.float32(0.0))
             ctrl = jax.jit(
                 jax.vmap(rti_init, in_axes=(None, 0, 0, None))
-            )(mech.params, ys, us_warm, goals0)
+            )(params_run, ys, us_warm, goals0)
         else:
             ctrl = us_warm
         return ys, ctrl, w_plant
@@ -273,7 +315,7 @@ def phase_mpc():
         goals0 = jax.block_until_ready(ref_fn(jnp.float32(0.0)))
         n_cache0 = _cache_entries()
         t_compile = time.perf_counter()
-        out = control_step(mech.params, ys, ctrl, w_plant, goals0)
+        out = control_step(params_run, ys, ctrl, w_plant, goals0, gains)
         jax.block_until_ready(out)
         t_compile = time.perf_counter() - t_compile
 
@@ -284,7 +326,8 @@ def phase_mpc():
         for k in range(K):
             t0 = time.perf_counter()
             ys, ctrl, w_plant, c, okf, ok = control_step(
-                mech.params, ys, ctrl, w_plant, ref_fn(jnp.float32(k * DT))
+                params_run, ys, ctrl, w_plant,
+                ref_fn(jnp.float32(k * DT)), gains,
             )
             jax.block_until_ready(ys)
             lat.append(time.perf_counter() - t0)

@@ -11,13 +11,19 @@ from .ilqr import (
     QuadCost,
     RTIState,
     make_ilqr,
+    make_ilqr_rt,
     make_mpc_controller,
+    make_mpc_rt,
     make_rti_mpc,
 )
 from .trot import (
+    TrotGains,
     TrotSpec,
     actuated_indices,
     make_trot_mpc,
+    make_trot_rt,
     make_trot_rti,
+    trot_gains,
     trot_reference,
+    trot_spring_params,
 )

@@ -291,6 +291,150 @@ def make_mpc_controller(topo: Topology, cost: QuadCost, horizon: int,
     return mpc
 
 
+def make_ilqr_rt(topo: Topology, horizon: int,
+                 opts: SolverOptions = SolverOptions(
+                     rtol=1e-4, btol=1e-3, max_iter=16),
+                 act_idx=None, alphas=(1.0, 0.5, 0.25, 0.1),
+                 iterations: int = 1, linsolve: str = "auto"):
+    """iLQR with the tuning surface as RUNTIME data.
+
+    make_ilqr bakes the cost matrices, Riccati regularization, and line
+    search into the compiled graph — every tuning change invalidates a
+    20-40 min relay compile.  Here the per-call signature is
+
+        ilqr_rt(params, y0, us_init, goals, Qd, Rd, Qfd, reg, du_max)
+            → (us, ys, cost, okf)
+
+    with Qd/Qfd (ny,) and Rd (nu,) diagonal cost weights, `reg` the Quu
+    Levenberg shift, and `du_max` an elementwise trust-region clamp on the
+    control update — all traced arguments, so cost shaping, damping, and
+    clamping sweep at zero recompiles (scripts/tune_trot.py drives this).
+    Joint springs/dampers tune through `params` the same way.
+    """
+    ny = topo.minimal_dim
+    n_packed = topo.input_dim
+    nu = n_packed if act_idx is None else len(np.asarray(act_idx))
+    dummy = QuadCost(
+        Q=jnp.ones(ny), R=jnp.ones(nu), Qf=jnp.ones(ny),
+        y_goal=jnp.zeros(ny),
+    )
+    p = _make_parts(topo, dummy, horizon, ILQRConfig(alphas=(1.0,)), opts,
+                    act_idx, linsolve)
+    alphas_c = tuple(float(a) for a in alphas)
+
+    def cost_rt(ys, us, goals, Qd, Rd, Qfd):
+        dy = ys[:-1] - goals[:-1]
+        cf = ys[-1] - goals[-1]
+        return (
+            jnp.sum(dy * dy * Qd[None])
+            + jnp.sum(us * us * Rd[None])
+            + jnp.sum(cf * cf * Qfd)
+        )
+
+    def backward_rt(As, Bs, ys, us, goals, Qd, Rd, Qfd, reg):
+        lys = 2.0 * (ys[:-1] - goals[:-1]) * Qd[None]
+        lus = 2.0 * us * Rd[None]
+        VH = jnp.diag(2.0 * Qfd)
+        vH = 2.0 * Qfd * (ys[-1] - goals[-1])
+        eye_u = jnp.eye(nu, dtype=ys.dtype)
+
+        def bstep(carry, inp):
+            V, v = carry
+            A, B, ly, lu = inp
+            Qx = ly + A.T @ v
+            Qu = lu + B.T @ v
+            Qxx = jnp.diag(2.0 * Qd) + A.T @ V @ A
+            Quu = jnp.diag(2.0 * Rd) + B.T @ V @ B + reg * eye_u
+            Qux = B.T @ V @ A
+            L = jnp.linalg.cholesky(Quu + 1e-8 * eye_u)
+            k = -jax.scipy.linalg.cho_solve((L, True), Qu)
+            Km = -jax.scipy.linalg.cho_solve((L, True), Qux)
+            V2 = Qxx + Km.T @ Quu @ Km + Km.T @ Qux + Qux.T @ Km
+            v2 = Qx + Km.T @ Quu @ k + Km.T @ Qu + Qux.T @ k
+            return (V2, v2), (k, Km)
+
+        (_, _), (ks, Ks) = jax.lax.scan(
+            bstep, (VH, vH), (As, Bs, lys, lus), reverse=True
+        )
+        return ks, Ks
+
+    def forward_rt(params, ys, us, ks, Ks, alpha, wseed, du_max):
+        def body(carry, inp):
+            y, w_prev = carry
+            y_ref, u_ref, k, Km = inp
+            du = alpha * k + Km @ (y - y_ref)
+            du = jnp.clip(du, -du_max, du_max)
+            u = u_ref + du
+            y2, w, mu, ok = p.step_w(params, y, u, w_prev=w_prev)
+            return (y2, w), (y2, u, w, mu, ok)
+
+        (_, _), (ys2, us2, ws, mus, oks) = jax.lax.scan(
+            body, (ys[0], wseed), (ys[:-1], us, ks, Ks)
+        )
+        return jnp.concatenate([ys[:1], ys2], 0), us2, ws, mus, oks
+
+    def ilqr_rt(params: Params, y0, us_init, goals, Qd, Rd, Qfd, reg,
+                du_max):
+        wseed = p.w_seed(params, y0)
+        ys0, _, (ws0, mus0, ok0) = p.rollout(
+            params, y0, us_init, goals, wseed
+        )
+        c0 = cost_rt(ys0, us_init, goals, Qd, Rd, Qfd)
+        okf0 = jnp.mean(ok0.astype(y0.dtype))
+        alphas_arr = jnp.asarray(alphas_c, y0.dtype)
+
+        def iteration(carry, _):
+            ys, us, c, ws, mus, okf = carry
+            As, Bs = p.linearize(params, ys, us, ws, mus)
+            ks, Ks = backward_rt(As, Bs, ys, us, goals, Qd, Rd, Qfd, reg)
+            ys_c, us_c, ws_c, mus_c, oks_c = jax.vmap(
+                lambda a: forward_rt(params, ys, us, ks, Ks, a, wseed,
+                                     du_max)
+            )(alphas_arr)
+            cs = jax.vmap(
+                lambda yy, uu: cost_rt(yy, uu, goals, Qd, Rd, Qfd)
+            )(ys_c, us_c)
+            cs = jnp.where(jnp.isnan(cs), jnp.inf, cs)
+            best = jnp.argmin(cs)
+            improved = cs[best] < c
+            pick = lambda new, old: jnp.where(improved, new[best], old)
+            ys2, us2, c2 = pick(ys_c, ys), pick(us_c, us), pick(cs, c)
+            ws2, mus2 = pick(ws_c, ws), pick(mus_c, mus)
+            okf2 = pick(jnp.mean(oks_c.astype(ys.dtype), axis=1), okf)
+            return (ys2, us2, c2, ws2, mus2, okf2), c2
+
+        (ys, us, c, _, _, okf), _ = jax.lax.scan(
+            iteration, (ys0, us_init, c0, ws0, mus0, okf0), None,
+            length=iterations,
+        )
+        return us, ys, c, okf
+
+    return ilqr_rt
+
+
+def make_mpc_rt(topo: Topology, horizon: int,
+                opts: SolverOptions = SolverOptions(
+                    rtol=1e-4, btol=1e-3, max_iter=16),
+                act_idx=None, alphas=(1.0, 0.5, 0.25, 0.1),
+                iterations: int = 1, linsolve: str = "auto"):
+    """Receding-horizon wrapper over make_ilqr_rt: warm-shifted re-solve
+    per control step, the tuning surface as runtime data.
+
+    mpc(params, y, us_warm, goals, Qd, Rd, Qfd, reg, du_max)
+        → (u0, us_next, cost, okf)
+    """
+    ilqr_rt = make_ilqr_rt(topo, horizon, opts, act_idx, alphas,
+                           iterations, linsolve)
+
+    def mpc(params, y, us_warm, goals, Qd, Rd, Qfd, reg, du_max):
+        us, ys, c, okf = ilqr_rt(params, y, us_warm, goals, Qd, Rd, Qfd,
+                                 reg, du_max)
+        us_next = jnp.concatenate([us[1:], us[-1:]], axis=0)
+        return us[0], us_next, c, okf
+
+    return mpc
+
+
 class RTIState(NamedTuple):
     """Carried trajectory of a real-time-iteration MPC: the last forward
     pass's knot states, controls, and per-knot contact-solver solutions

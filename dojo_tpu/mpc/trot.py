@@ -161,6 +161,98 @@ def make_trot_mpc(mech, horizon=40, spec: TrotSpec = TrotSpec(),
     return mpc, ref_fn
 
 
+class TrotGains(NamedTuple):
+    """Runtime tuning data for the trot controller (make_ilqr_rt surface):
+    swept on hardware by scripts/tune_trot.py without recompiling."""
+
+    Qd: jnp.ndarray  # (ny,) stage cost diagonal
+    Rd: jnp.ndarray  # (nu,)
+    Qfd: jnp.ndarray  # (ny,) terminal
+    reg: jnp.ndarray  # Quu Levenberg shift
+    du_max: jnp.ndarray  # elementwise control-update clamp [N·m]
+
+
+def trot_gains(mech, pos_x=0.0, vx_w=8.0, joint_w=1.0, reg=1e-2,
+               du_max=1e9, r_mul=1.0, dtype=None):
+    """Tuned runtime gains: velocity-style base tracking by default (the
+    base x-position weight rides to zero — a growing position error along
+    the horizon otherwise dominates the cost and drives the Riccati gains
+    into the contact-infeasible regime)."""
+    import numpy as _np
+
+    cost = trot_cost(mech)
+    Q = _np.asarray(cost.Q, _np.float64).copy()
+    Q[0] = pos_x
+    Q[6] = vx_w
+    Q[12:] *= joint_w
+    R = _np.asarray(cost.R, _np.float64) * r_mul
+    dtype = dtype or mech.params.mass.dtype
+    return TrotGains(
+        Qd=jnp.asarray(Q, dtype), Rd=jnp.asarray(R, dtype),
+        Qfd=jnp.asarray(2.0 * Q, dtype), reg=jnp.asarray(reg, dtype),
+        du_max=jnp.asarray(du_max, dtype),
+    )
+
+
+def trot_spring_params(mech, springs=20.0, dampers=2.0,
+                       stand=(0.0, np.pi / 4, -np.pi / 2)):
+    """Params with joint springs/dampers on the 12 leg joints and spring
+    offsets at the gait's standing pose.  The reference's own quadruped
+    behavior anchor stabilizes the stance with joint springs
+    (test/behaviors.jl:1-19: springs=30, dampers=1000 passive standing);
+    here moderate values hold the stance while the MPC modulates around
+    it — and springs/dampers/offsets are runtime Params, so sweeping them
+    never recompiles."""
+    params = mech.params
+    dtype = params.mass.dtype
+    rs = np.zeros(mech.topo.nj, np.float64)
+    rd = np.zeros(mech.topo.nj, np.float64)
+    off = np.asarray(params.rot_spring_offset, np.float64).copy()
+    hip, thigh, calf = stand
+    for name, j in mech.joint_index.items():
+        if name == "floating_base":
+            continue
+        rs[j], rd[j] = springs, dampers
+        if name.endswith("_hip_joint"):
+            off[j, 0] = hip
+        elif name.endswith("_thigh_joint"):
+            off[j, 0] = thigh
+        elif name.endswith("_calf_joint"):
+            off[j, 0] = calf
+    return params._replace(
+        rot_spring=jnp.asarray(rs, dtype),
+        rot_damper=jnp.asarray(rd, dtype),
+        rot_spring_offset=jnp.asarray(off, dtype),
+    )
+
+
+def make_trot_rt(mech, horizon=40, spec: TrotSpec = TrotSpec(),
+                 opts: SolverOptions = SolverOptions(
+                     rtol=1e-4, btol=1e-3, max_iter=16),
+                 dt=None, alphas=(1.0, 0.5, 0.25, 0.1), iterations=1,
+                 linsolve: str = "auto"):
+    """Trot controller over the runtime-tunable iLQR (make_mpc_rt).
+
+    Returns (mpc, ref_fn, gains):
+      mpc(params, y, us_warm, goals, *gains) → (u0, us_next, cost, okf)
+      ref_fn(t0) → (H+1, ny) gait reference
+      gains: TrotGains defaults (pass `gains._replace(...)` variants or
+        sweep them — they are traced arguments, never recompiled).
+    Pair with trot_spring_params(mech) for the spring-held stance.
+    """
+    from .ilqr import make_mpc_rt
+
+    dt = float(mech.params.timestep) if dt is None else dt
+    act = actuated_indices(mech)
+    mpc = make_mpc_rt(mech.topo, horizon, opts, act_idx=act, alphas=alphas,
+                      iterations=iterations, linsolve=linsolve)
+
+    def ref_fn(t0):
+        return trot_reference(mech, t0, horizon, dt, spec)
+
+    return mpc, ref_fn, trot_gains(mech)
+
+
 def make_trot_rti(mech, horizon=40, spec: TrotSpec = TrotSpec(),
                   config: ILQRConfig = ILQRConfig(alphas=(1.0,)),
                   opts: SolverOptions = SolverOptions(

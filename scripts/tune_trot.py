@@ -261,6 +261,29 @@ if __name__ == "__main__":
         )
     import sys
     mode = sys.argv[1] if len(sys.argv) > 1 else "cost"
+    if mode == "gait":
+        specs = [
+            ("sweep+0.25", TrotSpec()),
+            ("sweep-0.25", TrotSpec(sweep=-0.25)),
+            ("sweep-0.15", TrotSpec(sweep=-0.15)),
+            ("sweep+0.15", TrotSpec(sweep=0.15)),
+            ("sw-0.25 lift0.2", TrotSpec(sweep=-0.25, thigh_swing=0.2, calf_swing=0.2)),
+            ("sw+0.25 lift0.2", TrotSpec(sweep=0.25, thigh_swing=0.2, calf_swing=0.2)),
+            ("sw-0.25 per0.8", TrotSpec(sweep=-0.25, period=0.8)),
+            ("sw+0.25 per0.8", TrotSpec(sweep=0.25, period=0.8)),
+            ("sw-0.25 vx0.15", TrotSpec(sweep=-0.25, vx=0.15)),
+            ("sw+0.25 vx0.15", TrotSpec(sweep=0.25, vx=0.15)),
+            ("sw-0.4", TrotSpec(sweep=-0.4)),
+            ("sw+0.4", TrotSpec(sweep=0.4)),
+        ]
+        configs = [
+            dict(name=nm, Qd=base_Q(), Rd=jnp.asarray(R0, DTYPE),
+                 reg=10.0, du_max=1e9, spec=sp)
+            for nm, sp in specs
+        ]
+        run_sweep(configs, params=leg_spring_params(mech.params, 20.0, 2.0),
+                  label="gait")
+        raise SystemExit(0)
     if mode == "cost":
         run_sweep(configs, label="cost")
     elif mode == "springs":

@@ -108,6 +108,47 @@ def test_cartpole_ilqr_improves_cost():
         assert abs(float(ys[-1][2])) < abs(float(y0[2])), parallel
 
 
+@pytest.mark.slow
+def test_cartpole_ilqr_rt_runtime_gains():
+    """make_ilqr_rt: the runtime-data iLQR (cost diagonals, reg, clamp as
+    traced arguments) reduces the tracking cost like the baked-cost
+    make_ilqr, and different gains reuse the same compiled graph."""
+    from dojo_tpu.mpc import make_ilqr_rt
+
+    mech = models.get_mechanism("cartpole", timestep=0.02)
+    ny, nu = mech.minimal_dim, mech.input_dim
+    opts = SolverOptions(rtol=1e-8, btol=1e-8, max_iter=10)
+    H = 30
+    y0 = jnp.asarray([0.0, 0.0, 0.7, 0.0])
+    ilqr_rt = jax.jit(make_ilqr_rt(
+        mech.topo, H, opts, alphas=(1.0, 0.5, 0.1), iterations=4
+    ))
+    goals = jnp.zeros((H + 1, ny))
+    Qd = jnp.asarray([1.0, 0.1, 5.0, 0.1])
+    Rd = jnp.full((nu,), 1e-3)
+    us0 = jnp.zeros((H, nu))
+    args = (mech.params, y0, us0, goals)
+    us, ys, c, okf = ilqr_rt(
+        *args, Qd, Rd, 10.0 * Qd, jnp.asarray(1e-6), jnp.asarray(1e9)
+    )
+    # passive-cartpole cost under the same weights (zero iterations)
+    ilqr_rt0 = jax.jit(make_ilqr_rt(
+        mech.topo, H, opts, alphas=(1.0,), iterations=0
+    ))
+    _, _, c0, _ = ilqr_rt0(
+        *args, Qd, Rd, 10.0 * Qd, jnp.asarray(1e-6), jnp.asarray(1e9)
+    )
+    assert float(c) < 0.5 * float(c0), (float(c), float(c0))
+    assert float(okf) > 0.99
+    assert abs(float(ys[-1][2])) < abs(float(y0[2]))
+    # a second gain set reuses the compiled graph (traced args)
+    us2, ys2, c2, _ = ilqr_rt(
+        *args, 2.0 * Qd, Rd, 20.0 * Qd, jnp.asarray(1e-2), jnp.asarray(5.0)
+    )
+    assert np.isfinite(float(c2))
+    assert not np.allclose(np.asarray(us), np.asarray(us2))
+
+
 def test_ilqr_defaults_are_backend_safe():
     """ILQRConfig.linearize_chunk must default OFF: the chunked (lax.map)
     linearization's scan-of-vmap batched-matmul pattern trips an XLA:TPU

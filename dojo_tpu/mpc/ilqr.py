@@ -386,7 +386,22 @@ def make_ilqr_rt(topo: Topology, horizon: int,
         def iteration(carry, _):
             ys, us, c, ws, mus, okf = carry
             As, Bs = p.linearize(params, ys, us, ws, mus)
+            # knot sanitization: the float32 graph-LDU linearization has no
+            # rescue pass, and a hard-impact knot can emit NaN — one bad
+            # knot otherwise propagates through the Riccati recursion and
+            # zeroes out the whole line search (r4 tuning: cbest=inf at
+            # every control step).  A broken knot degrades to (A=I, B=0):
+            # the backward pass carries value information across it without
+            # injecting garbage.
+            fin = jnp.all(jnp.isfinite(As), axis=(1, 2)) & jnp.all(
+                jnp.isfinite(Bs), axis=(1, 2)
+            )
+            eye_y = jnp.eye(ny, dtype=ys.dtype)
+            As = jnp.where(fin[:, None, None], As, eye_y[None])
+            Bs = jnp.where(fin[:, None, None], Bs, 0.0)
             ks, Ks = backward_rt(As, Bs, ys, us, goals, Qd, Rd, Qfd, reg)
+            ks = jnp.where(jnp.isfinite(ks), ks, 0.0)
+            Ks = jnp.where(jnp.isfinite(Ks), Ks, 0.0)
             ys_c, us_c, ws_c, mus_c, oks_c = jax.vmap(
                 lambda a: forward_rt(params, ys, us, ks, Ks, a, wseed,
                                      du_max)

@@ -120,7 +120,16 @@ def ctrl(params, y, us_warm, w_plant, goals, Qd, Rd, reg, du_max):
     ys0, _, (ws, mus, ok0) = p.rollout(params, y, us_warm, goals, wseed)
     c0 = cost_rt(ys0, us_warm, goals, Qd, Rd)
     As, Bs = p.linearize(params, ys0, us_warm, ws, mus)
+    # sanitize impact-broken knots (NaN f32 linearization → A=I, B=0) —
+    # one bad knot otherwise NaNs the whole Riccati recursion
+    fin = jnp.all(jnp.isfinite(As), axis=(1, 2)) & jnp.all(
+        jnp.isfinite(Bs), axis=(1, 2))
+    eye_y = jnp.eye(ny, dtype=ys0.dtype)
+    As = jnp.where(fin[:, None, None], As, eye_y[None])
+    Bs = jnp.where(fin[:, None, None], Bs, 0.0)
     ks, Ks = backward_rt(As, Bs, ys0, us_warm, goals, Qd, Rd, reg)
+    ks = jnp.where(jnp.isfinite(ks), ks, 0.0)
+    Ks = jnp.where(jnp.isfinite(Ks), Ks, 0.0)
 
     alphas = jnp.asarray(ALPHAS, y.dtype)
     ys_c, us_c, oks_c = jax.vmap(
@@ -261,6 +270,54 @@ if __name__ == "__main__":
         )
     import sys
     mode = sys.argv[1] if len(sys.argv) > 1 else "cost"
+    if mode == "gait2":
+        # corrected geometry (rest_pose_probe findings): the standing pose
+        # (thigh pi/4, calf -pi/2) puts the base at z~0.30, not 0.43 — the
+        # old reference height was unreachable and the default init drops
+        # the robot 0.13 m.  Start at the true stand height, track it, and
+        # use gravity-biased spring offsets so stand is the loaded
+        # equilibrium.
+        global y0
+        state2 = jax.tree.map(
+            lambda a: jnp.asarray(a, DTYPE),
+            models.initialize(mech, "quadruped", body_position=(0, 0, -0.13)),
+        )
+        y0 = maximal_to_minimal(mech.topo, mech.params, state2)
+        bias = {
+            40.0: (-0.001, 0.818, -1.438),
+            60.0: (-0.001, 0.800, -1.487),
+            100.0: (0.0, 0.791, -1.523),
+        }
+        for k_, d_ in ((40.0, 4.0), (60.0, 5.0), (100.0, 8.0)):
+            specs = [
+                ("sw+0.25", TrotSpec(base_height=0.30)),
+                ("sw-0.25", TrotSpec(base_height=0.30, sweep=-0.25)),
+                ("sw+0.25 v.15", TrotSpec(base_height=0.30, vx=0.15)),
+                ("sw-0.25 v.15", TrotSpec(base_height=0.30, vx=0.15, sweep=-0.25)),
+                ("sw+0.15 lift.2", TrotSpec(base_height=0.30, sweep=0.15,
+                                            thigh_swing=0.2, calf_swing=0.2)),
+                ("sw-0.15 lift.2", TrotSpec(base_height=0.30, sweep=-0.15,
+                                            thigh_swing=0.2, calf_swing=0.2)),
+                ("sw+0.25 reg3", TrotSpec(base_height=0.30)),
+                ("sw-0.25 reg3", TrotSpec(base_height=0.30, sweep=-0.25)),
+                ("sw+0.25 per.8", TrotSpec(base_height=0.30, period=0.8)),
+                ("sw-0.25 per.8", TrotSpec(base_height=0.30, period=0.8, sweep=-0.25)),
+                ("stand-only", TrotSpec(base_height=0.30, vx=0.0, sweep=0.0,
+                                        thigh_swing=0.0, calf_swing=0.0)),
+                ("sw0 lift only", TrotSpec(base_height=0.30, sweep=0.0)),
+            ]
+            configs = [
+                dict(name=nm, Qd=base_Q(), Rd=jnp.asarray(R0, DTYPE),
+                     reg=(3.0 if "reg3" in nm else 10.0), du_max=1e9, spec=sp)
+                for nm, sp in specs
+            ]
+            run_sweep(
+                configs,
+                params=leg_spring_params(mech.params, k_, d_,
+                                         stand=bias[k_]),
+                label=f"g2 k{k_:g}/d{d_:g}",
+            )
+        raise SystemExit(0)
     if mode == "gait":
         specs = [
             ("sweep+0.25", TrotSpec()),

@@ -195,7 +195,6 @@ def phase_mpc():
     # "rti": real-time-iteration controller (one linearize+Riccati+forward
     # per control step, H sequential contact solves — mpc/ilqr.make_rti_mpc);
     # "ilqr": full re-solve with baked cost (rollout + 2-alpha forward)
-    MODE = os.environ.get("BENCH_MPC_MODE", "rt")
     # knot-chunked linearize (lax.map) is OFF by default on TPU: the
     # scan-of-vmap batched-matmul pattern trips an XLA:TPU mis-rewrite into
     # a base-dilated convolution ("Expected instruction to have shape equal
@@ -206,10 +205,15 @@ def phase_mpc():
     H, DT = 40, 0.05
     deadline = float(os.environ.get("BENCH_PHASE_DEADLINE", "1e18"))
 
+    MODE = os.environ.get("BENCH_MPC_MODE", "rt")
     mech = models.get_mechanism("quadruped", timestep=DT).cast(jnp.float32)
+    # rt mode starts at the TRUE standing height for the gait's joint
+    # angles (z≈0.30, measured by scripts/rest_pose_probe.py) — the old
+    # default (z=0.43) drops the robot 0.13 m into impact chaos
+    init_kw = {"body_position": (0, 0, -0.13)} if MODE == "rt" else {}
     state0 = jax.tree.map(
         lambda a: jnp.asarray(a, jnp.float32),
-        models.initialize(mech, "quadruped"),
+        models.initialize(mech, "quadruped", **init_kw),
     )
     y0 = maximal_to_minimal(mech.topo, mech.params, state0)
     ny = mech.topo.minimal_dim
@@ -229,6 +233,9 @@ def phase_mpc():
         mpc, ref_fn, gains = make_trot_rt(
             mech, horizon=H, spec=spec, opts=rt_opts, dt=DT,
             iterations=ITERS,
+        )
+        gains = trot_gains(
+            mech, joint_w=float(os.environ.get("BENCH_JW", "1")),
         )
         gains = gains._replace(
             reg=jnp.float32(float(os.environ.get("BENCH_REG", "1e-2"))),

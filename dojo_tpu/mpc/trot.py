@@ -37,8 +37,13 @@ class TrotSpec(NamedTuple):
 
     vx: float = 0.25  # forward base speed
     period: float = 0.6  # gait cycle length [s]
-    base_height: float = 0.43  # trunk height (reference standing pose,
-    # mechanism.jl:118: initialize_quadruped! body z = 0.43)
+    # trunk height at the gait's standing joint angles (thigh π/4, calf
+    # −π/2) with feet on the floor — MEASURED on hardware
+    # (scripts/rest_pose_probe.py): z ≈ 0.30.  The r1-r3 value 0.43 (the
+    # reference initialize height, mechanism.jl:118) is unreachable at
+    # these angles: tracking it kept a permanent 0.13 m height error, and
+    # initializing there drops the robot into impact chaos.
+    base_height: float = 0.30
     thigh_stand: float = np.pi / 4
     calf_stand: float = -np.pi / 2
     thigh_swing: float = 0.30  # swing-phase thigh lift amplitude
@@ -194,15 +199,18 @@ def trot_gains(mech, pos_x=0.0, vx_w=8.0, joint_w=1.0, reg=1e-2,
     )
 
 
-def trot_spring_params(mech, springs=20.0, dampers=2.0,
-                       stand=(0.0, np.pi / 4, -np.pi / 2)):
-    """Params with joint springs/dampers on the 12 leg joints and spring
-    offsets at the gait's standing pose.  The reference's own quadruped
-    behavior anchor stabilizes the stance with joint springs
-    (test/behaviors.jl:1-19: springs=30, dampers=1000 passive standing);
-    here moderate values hold the stance while the MPC modulates around
-    it — and springs/dampers/offsets are runtime Params, so sweeping them
-    never recompiles."""
+def trot_spring_params(mech, springs=40.0, dampers=4.0,
+                       stand=(-0.001, 0.818, -1.438)):
+    """Params with joint springs/dampers on the 12 leg joints and
+    GRAVITY-BIASED spring offsets: the default `stand` is the measured
+    offset triple (scripts/rest_pose_probe.py, k=40 on hardware) that
+    makes the standing pose the LOADED equilibrium — offset =
+    2·stand − rest, since k(stand − rest) equals the gravity torque at
+    rest.  The reference's own quadruped behavior anchor stabilizes the
+    stance with joint springs (test/behaviors.jl:1-19: springs=30,
+    dampers=1000 passive standing); here the spring holds the stance while
+    the MPC modulates around it — and springs/dampers/offsets are runtime
+    Params, so sweeping them never recompiles."""
     params = mech.params
     dtype = params.mass.dtype
     rs = np.zeros(mech.topo.nj, np.float64)

@@ -270,6 +270,37 @@ if __name__ == "__main__":
         )
     import sys
     mode = sys.argv[1] if len(sys.argv) > 1 else "cost"
+    if mode == "gait3":
+        # joint-tracking authority sweep at the corrected stand geometry
+        state2 = jax.tree.map(
+            lambda a: jnp.asarray(a, DTYPE),
+            models.initialize(mech, "quadruped", body_position=(0, 0, -0.13)),
+        )
+        globals()["y0"] = maximal_to_minimal(mech.topo, mech.params, state2)
+        sp_f = TrotSpec(base_height=0.30)
+        sp_b = TrotSpec(base_height=0.30, sweep=-0.25)
+        sp_l = TrotSpec(base_height=0.30, sweep=0.15, thigh_swing=0.2,
+                        calf_swing=0.2)
+        configs = []
+        for nm, jw, rm, sp in [
+            ("jw5 sw+", 5.0, 1.0, sp_f), ("jw5 sw-", 5.0, 1.0, sp_b),
+            ("jw10 sw+", 10.0, 1.0, sp_f), ("jw10 sw-", 10.0, 1.0, sp_b),
+            ("jw20 sw+", 20.0, 1.0, sp_f), ("jw20 sw-", 20.0, 1.0, sp_b),
+            ("jw10 R.3 sw+", 10.0, 0.3, sp_f), ("jw10 R.3 sw-", 10.0, 0.3, sp_b),
+            ("jw10 lift.2", 10.0, 1.0, sp_l),
+            ("jw20 R.3 sw+", 20.0, 0.3, sp_f),
+            ("jw40 sw+", 40.0, 1.0, sp_f),
+            ("jw10 vx16 sw+", 10.0, 1.0, sp_f),
+        ]:
+            Q = base_Q(joint_w=jw, vx_w=(16.0 if "vx16" in nm else 8.0))
+            configs.append(dict(name=nm, Qd=Q,
+                                Rd=jnp.asarray(R0 * rm, DTYPE),
+                                reg=10.0, du_max=1e9, spec=sp))
+        run_sweep(configs,
+                  params=leg_spring_params(mech.params, 40.0, 4.0,
+                                           stand=(-0.001, 0.818, -1.438)),
+                  label="g3 k40/d4")
+        raise SystemExit(0)
     if mode == "gait2":
         # corrected geometry (rest_pose_probe findings): the standing pose
         # (thigh pi/4, calf -pi/2) puts the base at z~0.30, not 0.43 — the
@@ -277,12 +308,12 @@ if __name__ == "__main__":
         # the robot 0.13 m.  Start at the true stand height, track it, and
         # use gravity-biased spring offsets so stand is the loaded
         # equilibrium.
-        global y0
         state2 = jax.tree.map(
             lambda a: jnp.asarray(a, DTYPE),
             models.initialize(mech, "quadruped", body_position=(0, 0, -0.13)),
         )
-        y0 = maximal_to_minimal(mech.topo, mech.params, state2)
+        globals()["y0"] = maximal_to_minimal(
+            mech.topo, mech.params, state2)
         bias = {
             40.0: (-0.001, 0.818, -1.438),
             60.0: (-0.001, 0.800, -1.487),

@@ -238,13 +238,13 @@ def phase_mpc():
             mech, joint_w=float(os.environ.get("BENCH_JW", "1")),
         )
         gains = gains._replace(
-            reg=jnp.float32(float(os.environ.get("BENCH_REG", "1e-2"))),
+            reg=jnp.float32(float(os.environ.get("BENCH_REG", "10"))),
             du_max=jnp.float32(float(os.environ.get("BENCH_DU_MAX", "1e9"))),
         )
         params_run = trot_spring_params(
             mech,
-            springs=float(os.environ.get("BENCH_SPRINGS", "20")),
-            dampers=float(os.environ.get("BENCH_DAMPERS", "2")),
+            springs=float(os.environ.get("BENCH_SPRINGS", "40")),
+            dampers=float(os.environ.get("BENCH_DAMPERS", "4")),
         )
         steps_per_solve = H * (1 + ITERS * 4) + 1
     elif MODE == "rti":

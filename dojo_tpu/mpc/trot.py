@@ -177,7 +177,7 @@ class TrotGains(NamedTuple):
     du_max: jnp.ndarray  # elementwise control-update clamp [N·m]
 
 
-def trot_gains(mech, pos_x=0.0, vx_w=8.0, joint_w=1.0, reg=1e-2,
+def trot_gains(mech, pos_x=0.0, vx_w=8.0, joint_w=1.0, reg=10.0,
                du_max=1e9, r_mul=1.0, dtype=None):
     """Tuned runtime gains: velocity-style base tracking by default (the
     base x-position weight rides to zero — a growing position error along

@@ -185,7 +185,11 @@ def phase_mpc():
     )
     from dojo_tpu.mpc.trot import actuated_indices
 
-    B_full = int(os.environ.get("BENCH_MPC_B", "128"))
+    # default B_full == B_small: the B=128 rt config hit a TPU device fault
+    # at first execution during priming (kernel fault / infra — unresolved
+    # this round; B=32 is primed and verified).  Export BENCH_MPC_B=128 to
+    # attempt the full batch explicitly.
+    B_full = int(os.environ.get("BENCH_MPC_B", "32"))
     B_small = int(os.environ.get("BENCH_MPC_B_SMALL", "32"))
     K = int(os.environ.get("BENCH_MPC_K", "10"))
     ITERS = int(os.environ.get("BENCH_ITERS", "1"))

@@ -8,23 +8,30 @@ each measurement in a SUBPROCESS with its own timeout and prints the best
 JSON line obtained so far when it finishes — or when the driver's timeout
 SIGTERMs it.  Something always lands on stdout with rc=0.
 
-  phase "steps": raw contact-step throughput (the round-1 metric) — small,
-      known-good compile; runs first so a result exists within minutes.
+  phase "steps": raw contact-step throughput (the round-1 metric) — runs
+      first so a result exists within minutes.  Measures the warm-started
+      chain AND the cold chain on the same compiled graph and reports the
+      better (BENCH_r04 regression guard: the warm chain must never ship a
+      number below cold).
   phase "mpc":  the north-star metric — receding-horizon quadruped trot
-      contact-MPC solves/s (H=40 knots, dt=0.05, warm-started iLQR re-solve:
-      rollout + IFT linearization reusing the contact solves + Riccati +
-      line-searched forward), vmapped over scenarios, closed-loop against a
-      tighter-tolerance plant.  Runs at a small batch first (guaranteed MPC
-      number), then the full batch.  Linearization is knot-chunked
-      (ILQRConfig.linearize_chunk) so the per-knot KKT block stacks never
-      materialize at (B, H, ...) — the r2 OOM.
+      contact-MPC solves/s (H=40 knots, dt=0.05), vmapped over scenarios,
+      closed-loop against a tighter-tolerance plant.
+
+Compile time is OFF the critical path: each phase first tries an
+AHEAD-OF-TIME serialized executable from aot/ (committed to the repo —
+dojo_tpu/aot.py; the persistent-cache key proved unstable across relay
+sessions, BENCH_r03/r04 `cache_hit: false`, so cache priming never
+delivered).  The blob carries its own example inputs, so the AOT path does
+zero tracing, zero compilation, and zero mechanism construction.  Any load
+failure falls back to the jit path with the persistent cache.
 
 vs_baseline compares against the driver target of 1000 MPC solves/s/chip.
 
 Env knobs: BENCH_BUDGET_S (orchestrator budget, default 2400),
-BENCH_MPC_B (full batch, default 256), BENCH_MPC_B_SMALL (default 32),
+BENCH_MPC_B (full batch, default 32), BENCH_MPC_B_SMALL (default 32),
 BENCH_MPC_K (control steps, default 10), BENCH_ITERS (iLQR iters/solve,
-default 1), BENCH_LIN_CHUNK (default 8), BENCH_PHASE (run one phase inline).
+default 1), BENCH_MPC_MODE (rt|rti|ilqr), BENCH_PHASE (run one phase
+inline), BENCH_SAVE_AOT=1 (after a jit compile, serialize it to aot/).
 """
 
 import json
@@ -48,8 +55,6 @@ def _enable_compile_cache():
 
 
 def _cache_entries():
-    """Number of files in the XLA compile cache (cache-hit telemetry: a
-    compile that added no files was served from the persistent cache)."""
     from dojo_tpu.cachedir import repo_cache_dir
 
     try:
@@ -70,19 +75,16 @@ def _device_kind():
 # --------------------------------------------------------------------------
 
 
-def phase_steps():
+def _build_steps(B):
+    """(batched_fn, example_args, config) for the steps phase; args =
+    (params, batched_state, u, w_neutral)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
-
-    _enable_compile_cache()
 
     from dojo_tpu import models
     from dojo_tpu.core import SolverOptions
     from dojo_tpu.simulate import make_step
 
-    B = int(os.environ.get("BENCH_STEPS_B", "256"))
-    K = int(os.environ.get("BENCH_STEPS_K", "10"))
     mech = models.get_mechanism("quadruped", timestep=0.05).cast(jnp.float32)
     state = jax.tree.map(
         lambda a: jnp.asarray(a, jnp.float32),
@@ -92,50 +94,87 @@ def phase_steps():
     batt = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), state)
     u = jnp.zeros((B, mech.topo.nj, 6), dtype=jnp.float32)
 
-    # steady-state steps warm-start the solver from the previous step's
-    # solution (StepInfo.w → init_w(w_prev) re-centering), exactly the
-    # reference's warm start from previous velocities (mechanism/set.jl:21-24
-    # + our cone re-centering) — roughly halves Newton iterations
-    @jax.jit
+    # the warm-start path re-centers impact-onset contacts to the neutral
+    # init inside the solver (SolverOptions.warm_onset_margin — the r4
+    # warm+impact failure fix); cold start = the same graph fed the
+    # cone-neutral init point, so ONE executable serves both phases
     def batched(params, st, u, w_prev):
         st2, info = jax.vmap(
             lambda s, uu, wp: step(params, s, uu, w_prev=wp),
         )(st, u, w_prev)
         return st2, info.w, info.success, info.iterations
 
-    # cold start = warm graph fed the cone-neutral init point (init_w with
-    # w_prev=neutral reproduces the cold reset, so ONE compiled graph serves
-    # both phases — a second "cold" jit doubled the steps-phase compile)
     w_neutral = jax.jit(
         jax.vmap(lambda s: step.init_w(s.v, s.w, mech.params))
     )(batt)
+    args = (mech.params, batt, u, w_neutral)
+    config = {"phase": "steps", "B": B, "dtype": "f32", "v": 5}
+    return batched, args, config
 
+
+def phase_steps():
+    import jax
+    import numpy as np
+
+    _enable_compile_cache()
+    from dojo_tpu.aot import load_aot, save_aot
+
+    B = int(os.environ.get("BENCH_STEPS_B", "256"))
+    K = int(os.environ.get("BENCH_STEPS_K", "10"))
+    config = {"phase": "steps", "B": B, "dtype": "f32", "v": 5}
+
+    aot = load_aot(f"steps_b{B}", config)
     n_cache0 = _cache_entries()
     t_c = time.perf_counter()
-    st, w, ok, it = batched(mech.params, batt, u, w_neutral)
+    if aot is not None and aot.example_args is not None:
+        fn = aot
+        params, batt, u, w_neutral = jax.tree.map(
+            jax.numpy.asarray, aot.example_args
+        )
+        aot_hit, code_match = True, aot.code_match
+    else:
+        batched, (params, batt, u, w_neutral), config = _build_steps(B)
+        compiled = jax.jit(batched).lower(params, batt, u, w_neutral).compile()
+        fn = compiled
+        aot_hit, code_match = False, True
+        if os.environ.get("BENCH_SAVE_AOT"):
+            save_aot(
+                f"steps_b{B}", compiled, config,
+                example_args=(params, batt, u, w_neutral),
+            )
+    # validation call (compile or AOT-load warmup)
+    st, w, ok, it = fn(params, batt, u, w_neutral)
     jax.block_until_ready(st)
     t_c = time.perf_counter() - t_c
     it_cold = float(np.mean(np.asarray(it)))
-    st, w, ok, it = batched(mech.params, st, u, w)
-    warm = True
-    if float(np.mean(np.asarray(ok))) < 0.9:
-        # warm chain unhealthy on this backend — fall back to cold-start
-        # steps (same compiled graph fed the neutral init each call)
-        warm = False
-        st = batt
-    t0 = time.perf_counter()
-    oks, its = [], []
-    for _ in range(K):
-        st, w, ok, it = batched(
-            mech.params, st, u, w if warm else w_neutral
+
+    def run_chain(warm: bool):
+        st, w = batt, w_neutral
+        # settle one step so the chain starts from the validated state
+        st, w, _, _ = fn(params, st, u, w if warm else w_neutral)
+        jax.block_until_ready(st)
+        t0 = time.perf_counter()
+        oks, its = [], []
+        for _ in range(K):
+            st, w, ok, it = fn(params, st, u, w if warm else w_neutral)
+            oks.append(ok)
+            its.append(it)
+        jax.block_until_ready(st)
+        dt = time.perf_counter() - t0
+        return (
+            B * K / dt,
+            float(np.mean([np.asarray(o) for o in oks])),
+            float(np.mean([np.asarray(i) for i in its])),
         )
-        oks.append(ok)
-        its.append(it)
-    jax.block_until_ready(st)
-    dt = time.perf_counter() - t0
-    ok = jnp.stack(oks)
-    it = jnp.stack(its)
-    sps = B * K / dt
+
+    sps_cold, ok_cold, it_cold2 = run_chain(False)
+    sps_warm, ok_warm, it_warm = run_chain(True)
+    # regression guard (BENCH_r04: warm shipped at 11× below cold) — report
+    # whichever chain is actually faster, keep both on record
+    warm = sps_warm >= sps_cold and ok_warm >= 0.9
+    sps, okr, itr = (
+        (sps_warm, ok_warm, it_warm) if warm else (sps_cold, ok_cold, it_cold2)
+    )
     print(
         json.dumps(
             {
@@ -146,10 +185,15 @@ def phase_steps():
                 "value": round(sps, 1),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / TARGET_STEPS, 4),
-                "solver_success_rate": round(float(np.mean(np.asarray(ok))), 4),
-                "mean_newton_iters": round(float(np.mean(np.asarray(it))), 1),
-                "cold_newton_iters": round(it_cold, 1),
+                "solver_success_rate": round(okr, 4),
+                "mean_newton_iters": round(itr, 1),
+                "warm_steps_per_s": round(sps_warm, 1),
+                "cold_steps_per_s": round(sps_cold, 1),
+                "warm_newton_iters": round(it_warm, 1),
+                "cold_newton_iters": round(it_cold2, 1),
                 "compile_s": round(t_c, 1),
+                "aot": aot_hit,
+                "aot_code_match": code_match,
                 "device": _device_kind(),
                 "cache_hit": _cache_entries() == n_cache0,
             }
@@ -163,12 +207,36 @@ def phase_steps():
 # --------------------------------------------------------------------------
 
 
-def phase_mpc():
+def _mpc_config(B):
+    """STRUCTURAL config only — entries that change the compiled graph or
+    the stored example-argument shapes.  Tuning values (gains, springs,
+    kff, weight schedules) are traced runtime data and deliberately NOT
+    part of the AOT signature."""
+    return {
+        "phase": "mpc",
+        "B": B,
+        "K": int(os.environ.get("BENCH_MPC_K", "10")),
+        "ITERS": int(os.environ.get("BENCH_ITERS", "1")),
+        "MODE": os.environ.get("BENCH_MPC_MODE", "rt"),
+        "H": 40,
+        "DT": 0.05,
+        "ALPHAS": os.environ.get("BENCH_ALPHAS", "1.0,0.5,0.25,0.1"),
+        "v": 5,
+    }
+
+
+def _build_mpc(B):
+    """(control_step_fn, example_args, aux) for the MPC phase.
+
+    args = (params_run, ys, ctrl, w_plant, goals, gains) — `goals` is ONE
+    control step's (H+1, ny) reference; the caller advances phase by
+    passing goals_all[k] (precomputed OUTSIDE the timed loop — the r4 bench
+    dispatched ~20 eager relay ops per step computing it inline).
+    aux = dict(goals_all=(K+1, H+1, ny), y0, spec, steps_per_solve).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    _enable_compile_cache()
 
     from dojo_tpu import models
     from dojo_tpu.core import SolverOptions
@@ -179,42 +247,32 @@ def phase_mpc():
         TrotSpec,
         make_trot_mpc,
         make_trot_rt,
+        make_trot_rt2,
         make_trot_rti,
         trot_gains,
         trot_spring_params,
     )
     from dojo_tpu.mpc.trot import actuated_indices
 
-    # default B_full == B_small: the B=128 rt config hit a TPU device fault
-    # at first execution during priming (kernel fault / infra — unresolved
-    # this round; B=32 is primed and verified).  Export BENCH_MPC_B=128 to
-    # attempt the full batch explicitly.
-    B_full = int(os.environ.get("BENCH_MPC_B", "32"))
-    B_small = int(os.environ.get("BENCH_MPC_B_SMALL", "32"))
     K = int(os.environ.get("BENCH_MPC_K", "10"))
     ITERS = int(os.environ.get("BENCH_ITERS", "1"))
-    # "rt" (default): runtime-tunable iLQR (make_trot_rt) — cost diagonals,
-    # Riccati reg, control clamp, and joint springs are traced DATA, so the
-    # tuned values never invalidate the compiled graph (BASELINE.md r4);
-    # "rti": real-time-iteration controller (one linearize+Riccati+forward
-    # per control step, H sequential contact solves — mpc/ilqr.make_rti_mpc);
-    # "ilqr": full re-solve with baked cost (rollout + 2-alpha forward)
-    # knot-chunked linearize (lax.map) is OFF by default on TPU: the
-    # scan-of-vmap batched-matmul pattern trips an XLA:TPU mis-rewrite into
-    # a base-dilated convolution ("Expected instruction to have shape equal
-    # to f32[16,32,8,14,14]", internal compiler error).  B=128 at full-H
-    # vmap keeps the (B,H,nodes,14,14) block temps ~3 GB — inside v5e HBM
-    # (the r2 OOM was B=512 → 12.8 GB).
     CHUNK = int(os.environ.get("BENCH_LIN_CHUNK", "0"))
     H, DT = 40, 0.05
-    deadline = float(os.environ.get("BENCH_PHASE_DEADLINE", "1e18"))
-
     MODE = os.environ.get("BENCH_MPC_MODE", "rt")
+    ALPHAS = tuple(
+        float(a)
+        for a in os.environ.get("BENCH_ALPHAS", "1.0,0.5,0.25,0.1").split(",")
+    )
+
     mech = models.get_mechanism("quadruped", timestep=DT).cast(jnp.float32)
-    # rt mode starts at the TRUE standing height for the gait's joint
-    # angles (z≈0.30, measured by scripts/rest_pose_probe.py) — the old
-    # default (z=0.43) drops the robot 0.13 m into impact chaos
-    init_kw = {"body_position": (0, 0, -0.13)} if MODE == "rt" else {}
+    # start at the TRUE standing height for the gait's joint angles
+    # (z≈0.30, measured by scripts/rest_pose_probe.py) — the old default
+    # (z=0.43) drops the robot 0.13 m into impact chaos
+    init_kw = (
+        {"body_position": (0, 0, -0.13)}
+        if MODE in ("rt", "rt2", "rti")
+        else {}
+    )
     state0 = jax.tree.map(
         lambda a: jnp.asarray(a, jnp.float32),
         models.initialize(mech, "quadruped", **init_kw),
@@ -223,39 +281,68 @@ def phase_mpc():
     ny = mech.topo.minimal_dim
 
     spec = TrotSpec()
-    # rescue=False: failures are data for the controller (BASELINE.md) —
-    # halves the compiled program vs the dense-rescue second pass
     mpc_opts = SolverOptions(rtol=1e-4, btol=1e-3, max_iter=12, rescue=False)
+    # controller rescue=True (rt/rt2): at float32, ~12% of forward-pass
+    # knots (impact steps) fail without it and poison the warm-started
+    # chain — the line search then never accepts (r4 tuning finding)
+    rt_opts = SolverOptions(rtol=1e-4, btol=1e-3, max_iter=16, rescue=True)
     gains = None
     params_run = mech.params
-    if MODE == "rt":
-        # controller rescue=True: at float32, ~12% of forward-pass knots
-        # (impact steps) fail without it and poison the warm-started chain
-        # — the line search then never accepts (r4 tuning finding)
-        rt_opts = SolverOptions(rtol=1e-4, btol=1e-3, max_iter=16,
-                                rescue=True)
-        mpc, ref_fn, gains = make_trot_rt(
-            mech, horizon=H, spec=spec, opts=rt_opts, dt=DT,
-            iterations=ITERS,
-        )
+    if MODE in ("rt", "rt2"):
+        if MODE == "rt":
+            mpc, ref_fn, gains = make_trot_rt(
+                mech, horizon=H, spec=spec, opts=rt_opts, dt=DT,
+                alphas=ALPHAS, iterations=ITERS,
+            )
+        else:
+            rt2_init, mpc, ref_fn, gains = make_trot_rt2(
+                mech, horizon=H, spec=spec, opts=rt_opts, dt=DT,
+                alphas=ALPHAS, iterations=ITERS,
+            )
         gains = trot_gains(
-            mech, joint_w=float(os.environ.get("BENCH_JW", "1")),
+            mech,
+            joint_w=float(os.environ.get("BENCH_JW", "1")),
+            reg=float(os.environ.get("BENCH_REG", "10")),
+            du_max=float(os.environ.get("BENCH_DU_MAX", "1e9")),
+            kff=float(os.environ.get("BENCH_KFF", "0")),
+            dtype=jnp.float32,
         )
-        gains = gains._replace(
-            reg=jnp.float32(float(os.environ.get("BENCH_REG", "10"))),
-            du_max=jnp.float32(float(os.environ.get("BENCH_DU_MAX", "1e9"))),
-        )
+        # bake the PER-KNOT stage-weight shape (H+1, ny) into the graph so
+        # the contact-scheduled reference (trot_weight_schedule) is runtime
+        # data against the same executable; BENCH_SCHED="swing,stance"
+        # applies a schedule, default is the constant broadcast
+        from dojo_tpu.mpc import trot_weight_schedule
+
+        sched = os.environ.get("BENCH_SCHED")
+        if sched:
+            swing_s, stance_s = (float(x) for x in sched.split(","))
+            Qs = trot_weight_schedule(
+                mech, jnp.float32(0.0), H, DT, spec, gains.Qd,
+                swing_scale=swing_s, stance_scale=stance_s,
+            )
+        else:
+            Qs = jnp.broadcast_to(gains.Qd, (H + 1, mech.topo.minimal_dim))
+        gains = gains._replace(Qd=Qs.astype(jnp.float32))
         params_run = trot_spring_params(
             mech,
             springs=float(os.environ.get("BENCH_SPRINGS", "40")),
             dampers=float(os.environ.get("BENCH_DAMPERS", "4")),
         )
-        steps_per_solve = H * (1 + ITERS * 4) + 1
+        steps_per_solve = (
+            H * (1 + ITERS * len(ALPHAS)) + 1
+            if MODE == "rt"
+            else H * ITERS * len(ALPHAS) + 1
+        )
     elif MODE == "rti":
         rti_init, mpc, ref_fn = make_trot_rti(
             mech, horizon=H, spec=spec,
             config=ILQRConfig(alphas=(1.0,), linearize_chunk=CHUNK),
             opts=mpc_opts, dt=DT,
+        )
+        params_run = trot_spring_params(
+            mech,
+            springs=float(os.environ.get("BENCH_SPRINGS", "40")),
+            dampers=float(os.environ.get("BENCH_DAMPERS", "4")),
         )
         steps_per_solve = H + 1  # forward rollout + plant step
     else:
@@ -266,9 +353,7 @@ def phase_mpc():
             ),
             opts=mpc_opts, dt=DT,
         )
-        # rollout H + iters * (n_alpha * H fwd) + plant step
         steps_per_solve = H * (1 + ITERS * 2) + 1
-    # plant: tighter tolerances than the controller's relaxed solves
     plant_opts = SolverOptions(rtol=1e-6, btol=1e-4, max_iter=30)
     plant_step, _, plant_seed = make_rollout_linearize_minimal(
         mech.topo, plant_opts
@@ -276,131 +361,176 @@ def phase_mpc():
     act = jnp.asarray(actuated_indices(mech))
     n_packed = mech.topo.input_dim
 
-    # goals (and in rt mode the cost/reg/clamp gains + spring params) are
-    # computed OUTSIDE the jit and passed as data: tuning then never
-    # recompiles the 30-min control_step graph.  All controller modes share
-    # the carry signature mpc(..., y, <carried>, goals, ...) →
-    # (u0, <carried>', c, okf): <carried> is the warm-start control
-    # sequence (rt/ilqr) or the RTIState trajectory (rti).
-    if MODE == "rt":
+    if MODE in ("rt", "rt2"):
+        # params AND gains are vmapped PER-LANE (in_axes 0): the benchmark
+        # broadcasts one config across the batch, while the tuning harness
+        # (scripts/tune_walk.py) feeds a DIFFERENT config per lane — the
+        # same compiled executable serves both (shapes identical)
         def mpc_call(params, ys, ctrl, goals, gains):
             return jax.vmap(
-                mpc, in_axes=(None, 0, 0) + (None,) * 6
+                mpc, in_axes=(0, 0, 0) + (None,) + (0,) * 6
             )(params, ys, ctrl, goals, *gains)
     else:
         def mpc_call(params, ys, ctrl, goals, gains):
             return jax.vmap(
-                mpc, in_axes=(None, 0, 0, None)
+                mpc, in_axes=(0, 0, 0, None)
             )(params, ys, ctrl, goals)
 
-    @jax.jit
     def control_step(params, ys, ctrl, w_plant, goals, gains):
         u0, ctrl2, c, okf = mpc_call(params, ys, ctrl, goals, gains)
         u_full = jax.vmap(
             lambda u: jnp.zeros(n_packed, u.dtype).at[act].set(u)
         )(u0)
-        ys2, w2, _, ok = jax.vmap(
-            plant_step, in_axes=(None, 0, 0, 0)
-        )(params, ys, u_full, w_plant)
+        ys2, w2, _, ok = jax.vmap(plant_step)(params, ys, u_full, w_plant)
         return ys2, ctrl2, w2, c, okf, ok
 
-    def make_batch(B):
-        rng = np.random.default_rng(0)
-        pert = np.zeros((B, ny), dtype=np.float32)
-        pert[:, :2] = rng.normal(scale=0.01, size=(B, 2))  # base xy
-        pert[:, 6:9] = rng.normal(scale=0.02, size=(B, 3))  # base velocity
-        ys = jnp.asarray(np.asarray(y0)[None] + pert)
-        us_warm = jnp.zeros((B, H, 12), dtype=jnp.float32)
-        w_plant = jax.vmap(lambda y: plant_seed(params_run, y))(ys)
-        if MODE == "rti":
-            goals0 = ref_fn(jnp.float32(0.0))
-            ctrl = jax.jit(
-                jax.vmap(rti_init, in_axes=(None, 0, 0, None))
-            )(params_run, ys, us_warm, goals0)
-        else:
-            ctrl = us_warm
-        return ys, ctrl, w_plant
+    rng = np.random.default_rng(0)
+    pert = np.zeros((B, ny), dtype=np.float32)
+    pert[:, :2] = rng.normal(scale=0.01, size=(B, 2))  # base xy
+    pert[:, 6:9] = rng.normal(scale=0.02, size=(B, 3))  # base velocity
+    ys = jnp.asarray(np.asarray(y0)[None] + pert)
+    us_warm = jnp.zeros((B, H, 12), dtype=jnp.float32)
+    gait_on = os.environ.get("BENCH_GAIT", "1") != "0"
+    goals_all = jax.jit(
+        jax.vmap(lambda t: ref_fn(t))
+    )(jnp.arange(K + 1, dtype=jnp.float32) * DT * (1.0 if gait_on else 0.0))
+    bcast = lambda tree: jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + jnp.shape(a)), tree
+    )
+    if MODE in ("rt", "rt2"):
+        params_b, gains_b = bcast(params_run), bcast(gains)
+    else:
+        params_b, gains_b = bcast(params_run), None
+    w_plant = jax.vmap(plant_seed)(params_b, ys)
+    if MODE == "rti":
+        ctrl = jax.jit(
+            jax.vmap(rti_init, in_axes=(0, 0, 0, None))
+        )(params_b, ys, us_warm, goals_all[0])
+    elif MODE == "rt2":
+        ctrl, _, _ = jax.jit(
+            jax.vmap(rt2_init, in_axes=(0, 0, None) + (0,) * 6)
+        )(params_b, ys, goals_all[0], *gains_b)
+    else:
+        ctrl = us_warm
+
+    args = (params_b, ys, ctrl, w_plant, goals_all[0], gains_b)
+    aux = {
+        "goals_all": goals_all,
+        "y0": jnp.asarray(y0),
+        "vx_cmd": spec.vx,
+        "steps_per_solve": steps_per_solve,
+        "mech": mech,
+    }
+    return control_step, args, aux
+
+
+def phase_mpc():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _enable_compile_cache()
+    from dojo_tpu.aot import load_aot, save_aot
+
+    B_full = int(os.environ.get("BENCH_MPC_B", "32"))
+    B_small = int(os.environ.get("BENCH_MPC_B_SMALL", "32"))
+    K = int(os.environ.get("BENCH_MPC_K", "10"))
+    H, DT = 40, 0.05
+    MODE = os.environ.get("BENCH_MPC_MODE", "rt")
+    deadline = float(os.environ.get("BENCH_PHASE_DEADLINE", "1e18"))
 
     def run_config(B, label_extra=""):
-        ys, ctrl, w_plant = make_batch(B)
-        goals0 = jax.block_until_ready(ref_fn(jnp.float32(0.0)))
+        config = _mpc_config(B)
+        name = f"mpc_{MODE}_b{B}"
+        aot = load_aot(name, config)
         n_cache0 = _cache_entries()
         t_compile = time.perf_counter()
-        out = control_step(params_run, ys, ctrl, w_plant, goals0, gains)
+        if aot is not None and aot.example_args is not None:
+            stored_args, stored_aux = aot.example_args
+            params_run, ys, ctrl, w_plant, _, gains = jax.tree.map(
+                jnp.asarray, stored_args
+            )
+            goals_all = jnp.asarray(stored_aux["goals_all"])
+            y0 = jnp.asarray(stored_aux["y0"])
+            vx_cmd = float(stored_aux["vx_cmd"])
+            steps_per_solve = int(stored_aux["steps_per_solve"])
+            fn = aot
+            aot_hit, code_match = True, aot.code_match
+        else:
+            control_step, args, aux = _build_mpc(B)
+            params_run, ys, ctrl, w_plant, goals0, gains = args
+            goals_all = aux["goals_all"]
+            y0, vx_cmd = aux["y0"], aux["vx_cmd"]
+            steps_per_solve = aux["steps_per_solve"]
+            compiled = (
+                jax.jit(control_step)
+                .lower(params_run, ys, ctrl, w_plant, goals0, gains)
+                .compile()
+            )
+            fn = compiled
+            aot_hit, code_match = False, True
+            if os.environ.get("BENCH_SAVE_AOT"):
+                aux_np = {
+                    "goals_all": np.asarray(goals_all),
+                    "y0": np.asarray(y0),
+                    "vx_cmd": vx_cmd,
+                    "steps_per_solve": steps_per_solve,
+                }
+                save_aot(name, compiled, config,
+                         example_args=(args, aux_np))
+        # validation call (compile or AOT warmup)
+        out = fn(params_run, ys, ctrl, w_plant, goals_all[0], gains)
         jax.block_until_ready(out)
         t_compile = time.perf_counter() - t_compile
 
-        viz_path = os.environ.get("BENCH_MPC_VIZ") if B == B_full else None
-        lane0 = [np.asarray(ys)[0]]
         lat, okfs, oks = [], [], []
         t_all = time.perf_counter()
         for k in range(K):
             t0 = time.perf_counter()
-            ys, ctrl, w_plant, c, okf, ok = control_step(
-                params_run, ys, ctrl, w_plant,
-                ref_fn(jnp.float32(k * DT)), gains,
+            ys, ctrl, w_plant, c, okf, ok = fn(
+                params_run, ys, ctrl, w_plant, goals_all[k], gains
             )
             jax.block_until_ready(ys)
             lat.append(time.perf_counter() - t0)
             okfs.append(np.asarray(okf))
             oks.append(np.asarray(ok))
-            if viz_path:
-                lane0.append(np.asarray(ys)[0])
         t_all = time.perf_counter() - t_all
-
-        if viz_path:
-            from dojo_tpu import visuals
-            from dojo_tpu.minimal import minimal_to_maximal
-
-            states = [
-                minimal_to_maximal(mech.topo, mech.params, jnp.asarray(y))
-                for y in lane0
-            ]
-            xs = np.stack([np.asarray(s.x) for s in states])
-            qs = np.stack([np.asarray(s.q) for s in states])
-            visuals.visualize(mech, xs, qs, viz_path, title="quadruped trot MPC")
 
         solves_per_s = B * K / t_all
         p50_ms = float(np.median(lat) * 1e3)
-        adv = float(np.mean(np.asarray(ys)[:, 0]) - np.mean(np.asarray(y0)[0]))
-        cmd = spec.vx * K * DT
-        print(
-            json.dumps(
-                {
-                    "metric": (
-                        f"quadruped trot contact-MPC solves/s/chip "
-                        f"(H={H}, dt={DT}, B={B}, {MODE}"
-                        f"{label_extra})"
-                    ),
-                    "value": round(solves_per_s, 1),
-                    "unit": "solves/s",
-                    "vs_baseline": round(solves_per_s / TARGET_MPC, 4),
-                    "p50_solve_latency_ms": round(p50_ms, 1),
-                    "real_time_budget_ms": 50.0,
-                    "contact_steps_per_s": round(
-                        solves_per_s * steps_per_solve, 0
-                    ),
-                    "mpc_solver_success": round(float(np.mean(okfs)), 4),
-                    "plant_solver_success": round(float(np.mean(oks)), 4),
-                    "tracking_cost": round(float(np.mean(np.asarray(c))), 3),
-                    "forward_progress_frac": (
-                        round(adv / cmd, 3) if cmd else None
-                    ),
-                    "compile_s": round(t_compile, 1),
-                    "device": _device_kind(),
-                    "cache_hit": _cache_entries() == n_cache0,
-                }
+        adv = float(np.mean(np.asarray(ys)[:, 0]) - float(y0[0]))
+        cmd = vx_cmd * K * DT
+        rec = {
+            "metric": (
+                f"quadruped trot contact-MPC solves/s/chip "
+                f"(H={H}, dt={DT}, B={B}, {MODE}{label_extra})"
             ),
-            flush=True,
-        )
+            "value": round(solves_per_s, 1),
+            "unit": "solves/s",
+            "vs_baseline": round(solves_per_s / TARGET_MPC, 4),
+            "p50_solve_latency_ms": round(p50_ms, 1),
+            "real_time_budget_ms": 50.0,
+            "contact_steps_per_s": round(solves_per_s * steps_per_solve, 0),
+            "mpc_solver_success": round(float(np.mean(okfs)), 4),
+            "plant_solver_success": round(float(np.mean(oks)), 4),
+            "tracking_cost": round(float(np.mean(np.asarray(c))), 3),
+            "forward_progress_frac": round(adv / cmd, 3) if cmd else None,
+            "compile_s": round(t_compile, 1),
+            "aot": aot_hit,
+            "aot_code_match": code_match,
+            "device": _device_kind(),
+            "cache_hit": _cache_entries() == n_cache0,
+        }
+        if B < 128:
+            # historical full-batch config was B=128 (r4: TPU device fault
+            # at first execution — see BASELINE.md); flag the smaller batch
+            # so cross-round ratios aren't misread
+            rec["batch_reduced"] = True
+        print(json.dumps(rec), flush=True)
         return t_compile, t_all
 
-    # small batch first: guarantees an MPC-metric line lands even if the
-    # full-batch attempt OOMs or exceeds the phase timeout
     t_compile, t_run = run_config(B_small, " [small-batch preflight]")
     if B_full > B_small:
-        # only attempt the full batch if the remaining budget plausibly
-        # covers a second compile + a linearly-scaled run
         est = t_compile * 0.5 + t_run * (B_full / B_small) + 60.0
         if time.time() + est < deadline:
             run_config(B_full)
@@ -473,8 +603,6 @@ def _run_phase(name, timeout_s, extra_env=None):
     print(f"bench phase {name}: rc={rc} parsed={result is not None}",
           file=sys.stderr)
     if result is not None:
-        # keep every phase's numbers on record (stdout carries only the
-        # final best line for the driver)
         print(f"bench phase {name} result: {json.dumps(result)}",
               file=sys.stderr)
     return result

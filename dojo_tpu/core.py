@@ -240,6 +240,19 @@ class SolverOptions(NamedTuple):
     # robustness); MPC-grade solves at loose tolerances turn it off to
     # halve compiled code — failures there are data, not errors
     rescue: bool = True
+    # impact-onset warm-start re-centering (r4 postmortem, BENCH_r04: the
+    # fully-warm chain fails at fresh contact activation — the carried
+    # (γ≈0, s≈gap) pair is catastrophically off-center for the new active
+    # contact and the f32 graph-LDU breaks on the resulting stiff system,
+    # triggering the 11× dense-rescue second pass EVERY step).  With
+    # warm_onset_margin ≥ 0, a warm-started step resets to the strictly
+    # feasible NEUTRAL init exactly those contacts whose signed distance is
+    # below the margin while their carried normal impulse is below
+    # warm_onset_gamma — i.e. contacts about to activate.  Persistent
+    # contacts keep the full warm start (the ~2× iteration win); flight
+    # phases keep it too (sdf large).  Set margin < 0 to disable.
+    warm_onset_margin: float = 0.05
+    warm_onset_gamma: float = 0.1
 
 
 def cone_index_sets(topo: Topology):

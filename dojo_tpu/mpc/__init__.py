@@ -15,6 +15,7 @@ from .ilqr import (
     make_mpc_controller,
     make_mpc_rt,
     make_rti_mpc,
+    make_rti_rt,
 )
 from .trot import (
     TrotGains,
@@ -22,8 +23,10 @@ from .trot import (
     actuated_indices,
     make_trot_mpc,
     make_trot_rt,
+    make_trot_rt2,
     make_trot_rti,
     trot_gains,
     trot_reference,
     trot_spring_params,
+    trot_weight_schedule,
 )

@@ -55,7 +55,10 @@ class ILQRConfig(NamedTuple):
     # path emits trips an XLA:TPU mis-rewrite into a base-dilated
     # convolution (internal compiler error, BASELINE.md r3) — with the
     # default a library user calling make_trot_mpc() on TPU must not hit a
-    # compiler crash.  Opt in explicitly for CPU/long-horizon runs.
+    # compiler crash.  CAUTION: with chunking off, large batch×horizon
+    # configs can OOM (B=512, H=40 was ~640 MB/buffer, BENCH_r02) — set
+    # linearize_chunk explicitly for large-batch CPU/GPU or long-horizon
+    # runs.
     linearize_chunk: int = 0
 
 
@@ -291,26 +294,20 @@ def make_mpc_controller(topo: Topology, cost: QuadCost, horizon: int,
     return mpc
 
 
-def make_ilqr_rt(topo: Topology, horizon: int,
-                 opts: SolverOptions = SolverOptions(
-                     rtol=1e-4, btol=1e-3, max_iter=16),
-                 act_idx=None, alphas=(1.0, 0.5, 0.25, 0.1),
-                 iterations: int = 1, linsolve: str = "auto"):
-    """iLQR with the tuning surface as RUNTIME data.
+class _RTCore(NamedTuple):
+    """Shared runtime-gains iLQR machinery (make_ilqr_rt / make_rti_rt)."""
 
-    make_ilqr bakes the cost matrices, Riccati regularization, and line
-    search into the compiled graph — every tuning change invalidates a
-    20-40 min relay compile.  Here the per-call signature is
+    p: _Parts
+    cost_rt: object
+    backward_rt: object
+    forward_rt: object
+    sanitize: object
+    ny: int
+    nu: int
 
-        ilqr_rt(params, y0, us_init, goals, Qd, Rd, Qfd, reg, du_max)
-            → (us, ys, cost, okf)
 
-    with Qd/Qfd (ny,) and Rd (nu,) diagonal cost weights, `reg` the Quu
-    Levenberg shift, and `du_max` an elementwise trust-region clamp on the
-    control update — all traced arguments, so cost shaping, damping, and
-    clamping sweep at zero recompiles (scripts/tune_trot.py drives this).
-    Joint springs/dampers tune through `params` the same way.
-    """
+def _make_rt_core(topo: Topology, horizon: int, opts: SolverOptions,
+                  act_idx, linsolve: str) -> _RTCore:
     ny = topo.minimal_dim
     n_packed = topo.input_dim
     nu = n_packed if act_idx is None else len(np.asarray(act_idx))
@@ -320,19 +317,24 @@ def make_ilqr_rt(topo: Topology, horizon: int,
     )
     p = _make_parts(topo, dummy, horizon, ILQRConfig(alphas=(1.0,)), opts,
                     act_idx, linsolve)
-    alphas_c = tuple(float(a) for a in alphas)
+    H = horizon
 
     def cost_rt(ys, us, goals, Qd, Rd, Qfd):
+        # Qd: (ny,) constant or (H+1, ny) per-knot schedule (the contact-
+        # scheduled gait reference — swing-phase joints tracked hard,
+        # stance-phase joints released; mpc/trot.trot_weight_schedule)
+        Qk = jnp.broadcast_to(Qd, (H + 1, ny))
         dy = ys[:-1] - goals[:-1]
         cf = ys[-1] - goals[-1]
         return (
-            jnp.sum(dy * dy * Qd[None])
+            jnp.sum(dy * dy * Qk[:-1])
             + jnp.sum(us * us * Rd[None])
             + jnp.sum(cf * cf * Qfd)
         )
 
     def backward_rt(As, Bs, ys, us, goals, Qd, Rd, Qfd, reg):
-        lys = 2.0 * (ys[:-1] - goals[:-1]) * Qd[None]
+        Qk = jnp.broadcast_to(Qd, (H + 1, ny))
+        lys = 2.0 * (ys[:-1] - goals[:-1]) * Qk[:-1]
         lus = 2.0 * us * Rd[None]
         VH = jnp.diag(2.0 * Qfd)
         vH = 2.0 * Qfd * (ys[-1] - goals[-1])
@@ -340,10 +342,10 @@ def make_ilqr_rt(topo: Topology, horizon: int,
 
         def bstep(carry, inp):
             V, v = carry
-            A, B, ly, lu = inp
+            A, B, ly, lu, Qrow = inp
             Qx = ly + A.T @ v
             Qu = lu + B.T @ v
-            Qxx = jnp.diag(2.0 * Qd) + A.T @ V @ A
+            Qxx = jnp.diag(2.0 * Qrow) + A.T @ V @ A
             Quu = jnp.diag(2.0 * Rd) + B.T @ V @ B + reg * eye_u
             Qux = B.T @ V @ A
             L = jnp.linalg.cholesky(Quu + 1e-8 * eye_u)
@@ -354,7 +356,7 @@ def make_ilqr_rt(topo: Topology, horizon: int,
             return (V2, v2), (k, Km)
 
         (_, _), (ks, Ks) = jax.lax.scan(
-            bstep, (VH, vH), (As, Bs, lys, lus), reverse=True
+            bstep, (VH, vH), (As, Bs, lys, lus, Qk[:-1]), reverse=True
         )
         return ks, Ks
 
@@ -373,6 +375,52 @@ def make_ilqr_rt(topo: Topology, horizon: int,
         )
         return jnp.concatenate([ys[:1], ys2], 0), us2, ws, mus, oks
 
+    def sanitize(As, Bs):
+        """Degrade non-finite knots to (A=I, B=0): the float32 graph-LDU
+        linearization has no rescue pass, and one hard-impact NaN knot
+        otherwise poisons the whole Riccati recursion (r4 tuning:
+        cbest=inf at every control step)."""
+        fin = jnp.all(jnp.isfinite(As), axis=(1, 2)) & jnp.all(
+            jnp.isfinite(Bs), axis=(1, 2)
+        )
+        eye_y = jnp.eye(ny, dtype=As.dtype)
+        As = jnp.where(fin[:, None, None], As, eye_y[None])
+        Bs = jnp.where(fin[:, None, None], Bs, 0.0)
+        return As, Bs
+
+    return _RTCore(p=p, cost_rt=cost_rt, backward_rt=backward_rt,
+                   forward_rt=forward_rt, sanitize=sanitize, ny=ny, nu=nu)
+
+
+def make_ilqr_rt(topo: Topology, horizon: int,
+                 opts: SolverOptions = SolverOptions(
+                     rtol=1e-4, btol=1e-3, max_iter=16),
+                 act_idx=None, alphas=(1.0, 0.5, 0.25, 0.1),
+                 iterations: int = 1, linsolve: str = "auto"):
+    """iLQR with the tuning surface as RUNTIME data.
+
+    make_ilqr bakes the cost matrices, Riccati regularization, and line
+    search into the compiled graph — every tuning change invalidates a
+    20-40 min relay compile.  Here the per-call signature is
+
+        ilqr_rt(params, y0, us_init, goals, Qd, Rd, Qfd, reg, du_max)
+            → (us, ys, cost, okf)
+
+    with Qd/Qfd (ny,) — or Qd (H+1, ny) for per-knot schedules — and Rd
+    (nu,) diagonal cost weights, `reg` the Quu Levenberg shift, and
+    `du_max` an elementwise trust-region clamp on the control update — all
+    traced arguments, so cost shaping, damping, and clamping sweep at zero
+    recompiles (scripts/tune_trot.py drives this).  Joint springs/dampers
+    tune through `params` the same way.
+    """
+    core = _make_rt_core(topo, horizon, opts, act_idx, linsolve)
+    p = core.p
+    ny = core.ny
+    cost_rt, backward_rt, forward_rt = (
+        core.cost_rt, core.backward_rt, core.forward_rt
+    )
+    alphas_c = tuple(float(a) for a in alphas)
+
     def ilqr_rt(params: Params, y0, us_init, goals, Qd, Rd, Qfd, reg,
                 du_max):
         wseed = p.w_seed(params, y0)
@@ -385,20 +433,7 @@ def make_ilqr_rt(topo: Topology, horizon: int,
 
         def iteration(carry, _):
             ys, us, c, ws, mus, okf = carry
-            As, Bs = p.linearize(params, ys, us, ws, mus)
-            # knot sanitization: the float32 graph-LDU linearization has no
-            # rescue pass, and a hard-impact knot can emit NaN — one bad
-            # knot otherwise propagates through the Riccati recursion and
-            # zeroes out the whole line search (r4 tuning: cbest=inf at
-            # every control step).  A broken knot degrades to (A=I, B=0):
-            # the backward pass carries value information across it without
-            # injecting garbage.
-            fin = jnp.all(jnp.isfinite(As), axis=(1, 2)) & jnp.all(
-                jnp.isfinite(Bs), axis=(1, 2)
-            )
-            eye_y = jnp.eye(ny, dtype=ys.dtype)
-            As = jnp.where(fin[:, None, None], As, eye_y[None])
-            Bs = jnp.where(fin[:, None, None], Bs, 0.0)
+            As, Bs = core.sanitize(*p.linearize(params, ys, us, ws, mus))
             ks, Ks = backward_rt(As, Bs, ys, us, goals, Qd, Rd, Qfd, reg)
             ks = jnp.where(jnp.isfinite(ks), ks, 0.0)
             Ks = jnp.where(jnp.isfinite(Ks), Ks, 0.0)
@@ -448,6 +483,97 @@ def make_mpc_rt(topo: Topology, horizon: int,
         return us[0], us_next, c, okf
 
     return mpc
+
+
+def make_rti_rt(topo: Topology, horizon: int,
+                opts: SolverOptions = SolverOptions(
+                    rtol=1e-4, btol=1e-3, max_iter=16),
+                act_idx=None, alphas=(1.0, 0.5, 0.25),
+                iterations: int = 1, linsolve: str = "auto"):
+    """Carried-trajectory receding-horizon MPC with runtime-data gains and
+    an α line search — the latency-optimal controller shape.
+
+    make_mpc_rt re-ROLLS the shifted warm control sequence every control
+    step before it can linearize: H sequential contact solves of pure
+    overhead per solve (the r4 north-star ran 81 sequential solves; p50
+    6.5 s vs the 50 ms budget).  Here the linearization point is the
+    PREVIOUS control step's accepted forward pass, shifted one knot — each
+    stored (y, u, w, μ) knot is a consistent solver solution, so the IFT
+    linearization is exact and costs ZERO new contact solves.  Per control
+    step: iterations × (linearize + Riccati + α-vmapped forward) = H
+    sequential solves per iteration, half make_mpc_rt's depth at
+    iterations=1.  Unlike plain RTI (make_rti_mpc), the forward pass IS
+    line-searched (α candidates vmapped, best tracking cost wins) and the
+    tuning surface (Qd/Rd/Qfd/reg/du_max) stays runtime data.
+
+    Returns (init, mpc):
+      init(params, y0, us_init, goals, Qd, Rd, Qfd, reg, du_max)
+          → (RTIState, cost, okf)                     (one cold rollout)
+      mpc(params, y, st, goals, Qd, Rd, Qfd, reg, du_max, u_last)
+          → (u0, st2, cost, okf)
+    u_last: (nu,) control for the newly revealed terminal knot (gait
+    feedforward; pass st.us[-1] to reproduce the plain repeat-last shift).
+    Both jittable; vmap over (y/y0, st, u_last) for scenario batches.
+    """
+    core = _make_rt_core(topo, horizon, opts, act_idx, linsolve)
+    p = core.p
+    alphas_c = tuple(float(a) for a in alphas)
+
+    def init(params: Params, y0, us_init, goals, Qd, Rd, Qfd, reg, du_max):
+        wseed = p.w_seed(params, y0)
+        ys, _, (ws, mus, oks) = p.rollout(params, y0, us_init, goals, wseed)
+        c = core.cost_rt(ys, us_init, goals, Qd, Rd, Qfd)
+        okf = jnp.mean(oks.astype(y0.dtype))
+        return RTIState(ys=ys, us=us_init, ws=ws, mus=mus), c, okf
+
+    def one_pass(params, y, ys_s, us_s, ws_s, mus_s, goals, Qd, Rd, Qfd,
+                 reg, du_max):
+        As, Bs = core.sanitize(*p.linearize(params, ys_s, us_s, ws_s, mus_s))
+        ks, Ks = core.backward_rt(As, Bs, ys_s, us_s, goals, Qd, Rd, Qfd,
+                                  reg)
+        ks = jnp.where(jnp.isfinite(ks), ks, 0.0)
+        Ks = jnp.where(jnp.isfinite(Ks), Ks, 0.0)
+        alphas_arr = jnp.asarray(alphas_c, y.dtype)
+        ys_from = jnp.concatenate([y[None], ys_s[1:]], axis=0)
+        ys_c, us_c, ws_c, mus_c, oks_c = jax.vmap(
+            lambda a: core.forward_rt(params, ys_from, us_s, ks, Ks, a,
+                                      ws_s[0], du_max)
+        )(alphas_arr)
+        cs = jax.vmap(
+            lambda yy, uu: core.cost_rt(yy, uu, goals, Qd, Rd, Qfd)
+        )(ys_c, us_c)
+        cs = jnp.where(jnp.isnan(cs), jnp.inf, cs)
+        best = jnp.argmin(cs)
+        okf = jnp.mean(oks_c[best].astype(y.dtype))
+        return (ys_c[best], us_c[best], ws_c[best], mus_c[best], cs[best],
+                okf)
+
+    def mpc(params: Params, y, st: RTIState, goals, Qd, Rd, Qfd, reg,
+            du_max, u_last):
+        # receding-horizon shift: knot k ← stored knot k+1; the newly
+        # revealed terminal knot takes u_last (gait feedforward) with the
+        # old terminal solve as its linearization anchor
+        ys_s = jnp.concatenate([st.ys[1:], st.ys[-1:]], axis=0)
+        us_s = jnp.concatenate([st.us[1:], u_last[None]], axis=0)
+        ws_s = jnp.concatenate([st.ws[1:], st.ws[-1:]], axis=0)
+        mus_s = jnp.concatenate([st.mus[1:], st.mus[-1:]], axis=0)
+
+        def body(carry, _):
+            ys_b, us_b, ws_b, mus_b, _, _ = carry
+            return one_pass(
+                params, y, ys_b, us_b, ws_b, mus_b, goals, Qd, Rd, Qfd,
+                reg, du_max,
+            ), None
+
+        zero = jnp.asarray(0.0, y.dtype)
+        (ys_b, us_b, ws_b, mus_b, c_b, okf), _ = jax.lax.scan(
+            body, (ys_s, us_s, ws_s, mus_s, zero, zero), None,
+            length=iterations,
+        )
+        st2 = RTIState(ys=ys_b, us=us_b, ws=ws_b, mus=mus_b)
+        return us_b[0], st2, c_b, okf
+
+    return init, mpc
 
 
 class RTIState(NamedTuple):
@@ -502,8 +628,22 @@ def make_rti_mpc(topo: Topology, cost: QuadCost, horizon: int,
         mus_s = jnp.concatenate([st.mus[1:], st.mus[-1:]], axis=0)
 
         As, Bs = p.linearize(params, ys_s, us_s, ws_s, mus_s)
+        # knot sanitization (same degrade as make_ilqr_rt): the float32
+        # graph-LDU linearization has no rescue pass and hard-impact knots
+        # can emit NaN — one bad knot otherwise poisons the whole Riccati
+        # recursion, and THIS controller runs a single forward pass with no
+        # line search to catch it.  Broken knot → (A=I, B=0).
+        ny = ys_s.shape[-1]
+        fin = jnp.all(jnp.isfinite(As), axis=(1, 2)) & jnp.all(
+            jnp.isfinite(Bs), axis=(1, 2)
+        )
+        eye_y = jnp.eye(ny, dtype=ys_s.dtype)
+        As = jnp.where(fin[:, None, None], As, eye_y[None])
+        Bs = jnp.where(fin[:, None, None], Bs, 0.0)
         reg = jnp.asarray(config.reg_init, y.dtype)
         ks, Ks, _ = p.backward(As, Bs, ys_s, us_s, reg, goals)
+        ks = jnp.where(jnp.isfinite(ks), ks, 0.0)
+        Ks = jnp.where(jnp.isfinite(Ks), Ks, 0.0)
 
         def body(carry, inp):
             y_c, w_prev = carry

@@ -170,15 +170,21 @@ class TrotGains(NamedTuple):
     """Runtime tuning data for the trot controller (make_ilqr_rt surface):
     swept on hardware by scripts/tune_trot.py without recompiling."""
 
-    Qd: jnp.ndarray  # (ny,) stage cost diagonal
+    Qd: jnp.ndarray  # (ny,) stage cost diagonal, or (H+1, ny) schedule
     Rd: jnp.ndarray  # (nu,)
     Qfd: jnp.ndarray  # (ny,) terminal
     reg: jnp.ndarray  # Quu Levenberg shift
     du_max: jnp.ndarray  # elementwise control-update clamp [N·m]
+    # feedforward gait-torque gain [N·m/rad]: u_ff = kff·(q_ref − q_stand)
+    # per actuated joint — biases the warm control sequence toward the
+    # swing motion so a single accepted α-step per control step is enough
+    # to track the gait (r4 finding: at ITERS=1 the line search closes the
+    # tracking gap too slowly to locomote without it)
+    kff: jnp.ndarray = np.float32(0.0)
 
 
 def trot_gains(mech, pos_x=0.0, vx_w=8.0, joint_w=1.0, reg=10.0,
-               du_max=1e9, r_mul=1.0, dtype=None):
+               du_max=1e9, r_mul=1.0, kff=0.0, dtype=None):
     """Tuned runtime gains: velocity-style base tracking by default (the
     base x-position weight rides to zero — a growing position error along
     the horizon otherwise dominates the cost and drives the Riccati gains
@@ -187,16 +193,64 @@ def trot_gains(mech, pos_x=0.0, vx_w=8.0, joint_w=1.0, reg=10.0,
 
     cost = trot_cost(mech)
     Q = _np.asarray(cost.Q, _np.float64).copy()
-    Q[0] = pos_x
-    Q[6] = vx_w
-    Q[12:] *= joint_w
+    # derive offsets from the minimal-vector layout like trot_cost does
+    # (hard-coded 0/6/12 silently mis-weights if the layout ever changes)
+    b = _layout(mech)["floating_base"]
+    joint_mask = _np.ones(len(Q), bool)
+    joint_mask[b : b + 12] = False
+    Q[b + 0] = pos_x
+    Q[b + 6] = vx_w
+    Q[joint_mask] *= joint_w
     R = _np.asarray(cost.R, _np.float64) * r_mul
     dtype = dtype or mech.params.mass.dtype
     return TrotGains(
         Qd=jnp.asarray(Q, dtype), Rd=jnp.asarray(R, dtype),
         Qfd=jnp.asarray(2.0 * Q, dtype), reg=jnp.asarray(reg, dtype),
-        du_max=jnp.asarray(du_max, dtype),
+        du_max=jnp.asarray(du_max, dtype), kff=jnp.asarray(kff, dtype),
     )
+
+
+def _ff_layout(mech, spec: TrotSpec):
+    """(cols, stand): per actuated-u index, the minimal position column of
+    its joint and the standing angle — the gait feedforward pattern
+    u_ff[k, i] = kff·(goals[k, cols[i]] − stand[i])."""
+    offs = _layout(mech)
+    name_of = {j: n for n, j in mech.joint_index.items()}
+    cols, stand = [], []
+    for j in range(mech.topo.nj):
+        name = name_of[j]
+        if name == "floating_base":
+            continue
+        cols.append(offs[name])
+        if name.endswith("_thigh_joint"):
+            stand.append(spec.thigh_stand)
+        elif name.endswith("_calf_joint"):
+            stand.append(spec.calf_stand)
+        else:
+            stand.append(0.0)  # hips reference 0
+    return np.asarray(cols, np.int32), np.asarray(stand, np.float64)
+
+
+def trot_weight_schedule(mech, t0, horizon, dt, spec: TrotSpec,
+                         Qd, swing_scale=1.0, stance_scale=1.0):
+    """(H+1, ny) per-knot stage-weight schedule: each leg's thigh/calf
+    POSITION weights scale between stance_scale (foot loaded — don't fight
+    the contact for joint position) and swing_scale (foot in flight —
+    track the swing trajectory hard).  Runtime data for make_ilqr_rt /
+    make_rti_rt (Qd broadcasting); swing/stance windows follow the same
+    sin(φ) phase as trot_reference."""
+    ny = mech.topo.minimal_dim
+    offs = _layout(mech)
+    t = t0 + dt * jnp.arange(horizon + 1)
+    phi = 2.0 * jnp.pi * t / spec.period
+    Qs = jnp.broadcast_to(jnp.asarray(Qd), (horizon + 1, ny))
+    for g in GROUPS:
+        sw = jnp.maximum(jnp.sin(phi + PHASE[g]), 0.0)  # swing window
+        scale = stance_scale + (swing_scale - stance_scale) * sw
+        for nm in (f"{g}_thigh_joint", f"{g}_calf_joint"):
+            o = offs[nm]
+            Qs = Qs.at[:, o].mul(scale)
+    return Qs
 
 
 def trot_spring_params(mech, springs=40.0, dampers=4.0,
@@ -242,23 +296,85 @@ def make_trot_rt(mech, horizon=40, spec: TrotSpec = TrotSpec(),
     """Trot controller over the runtime-tunable iLQR (make_mpc_rt).
 
     Returns (mpc, ref_fn, gains):
-      mpc(params, y, us_warm, goals, *gains) → (u0, us_next, cost, okf)
+      mpc(params, y, dus_warm, goals, *gains) → (u0, dus_next, cost, okf)
       ref_fn(t0) → (H+1, ny) gait reference
       gains: TrotGains defaults (pass `gains._replace(...)` variants or
         sweep them — they are traced arguments, never recompiled).
-    Pair with trot_spring_params(mech) for the spring-held stance.
+    The carried control sequence is the DEVIATION from the gait
+    feedforward u_ff = kff·(q_ref − q_stand): the warm start then shifts
+    consistently with the advancing gait phase, and kff=0 reproduces the
+    plain warm-start semantics exactly.  Pair with trot_spring_params(mech)
+    for the spring-held stance.
     """
-    from .ilqr import make_mpc_rt
+    from .ilqr import make_ilqr_rt
 
     dt = float(mech.params.timestep) if dt is None else dt
     act = actuated_indices(mech)
-    mpc = make_mpc_rt(mech.topo, horizon, opts, act_idx=act, alphas=alphas,
-                      iterations=iterations, linsolve=linsolve)
+    ilqr_rt = make_ilqr_rt(mech.topo, horizon, opts, act_idx=act,
+                           alphas=alphas, iterations=iterations,
+                           linsolve=linsolve)
+    cols, stand = _ff_layout(mech, spec)
+
+    def mpc(params, y, dus_warm, goals, Qd, Rd, Qfd, reg, du_max, kff):
+        stand_t = jnp.asarray(stand, y.dtype)
+        us_ff = kff * (goals[:horizon, cols] - stand_t[None])
+        us, ys, c, okf = ilqr_rt(
+            params, y, dus_warm + us_ff, goals, Qd, Rd, Qfd, reg, du_max
+        )
+        dus = us - us_ff
+        dus_next = jnp.concatenate([dus[1:], dus[-1:]], axis=0)
+        return us[0], dus_next, c, okf
 
     def ref_fn(t0):
         return trot_reference(mech, t0, horizon, dt, spec)
 
     return mpc, ref_fn, trot_gains(mech)
+
+
+def make_trot_rt2(mech, horizon=40, spec: TrotSpec = TrotSpec(),
+                  opts: SolverOptions = SolverOptions(
+                      rtol=1e-4, btol=1e-3, max_iter=16),
+                  dt=None, alphas=(1.0, 0.5, 0.25), iterations=1,
+                  linsolve: str = "auto"):
+    """Trot controller over the carried-trajectory runtime-gains MPC
+    (make_rti_rt): linearize at the PREVIOUS accepted forward pass (zero
+    re-rollout contact solves), line-searched forward — H sequential
+    solves per control step instead of make_trot_rt's 2H.
+
+    Returns (init, mpc, ref_fn, gains):
+      init(params, y0, goals, *gains) → (RTIState, cost, okf)
+      mpc(params, y, st, goals, *gains) → (u0, st2, cost, okf)
+      ref_fn(t0) → (H+1, ny) gait reference.
+    The newly revealed terminal knot of each shift takes the gait
+    feedforward u_ff[H−1] as its control (kff=0 → repeat-last).
+    """
+    from .ilqr import make_rti_rt
+
+    dt = float(mech.params.timestep) if dt is None else dt
+    act = actuated_indices(mech)
+    rti_init, rti_mpc = make_rti_rt(
+        mech.topo, horizon, opts, act_idx=act, alphas=alphas,
+        iterations=iterations, linsolve=linsolve,
+    )
+    cols, stand = _ff_layout(mech, spec)
+
+    def us_ff_of(goals, kff, dtype):
+        stand_t = jnp.asarray(stand, dtype)
+        return kff * (goals[:horizon, cols] - stand_t[None])
+
+    def init(params, y0, goals, Qd, Rd, Qfd, reg, du_max, kff):
+        us0 = us_ff_of(goals, kff, y0.dtype)
+        return rti_init(params, y0, us0, goals, Qd, Rd, Qfd, reg, du_max)
+
+    def mpc(params, y, st, goals, Qd, Rd, Qfd, reg, du_max, kff):
+        u_last = us_ff_of(goals, kff, y.dtype)[-1]
+        return rti_mpc(params, y, st, goals, Qd, Rd, Qfd, reg, du_max,
+                       u_last)
+
+    def ref_fn(t0):
+        return trot_reference(mech, t0, horizon, dt, spec)
+
+    return init, mpc, ref_fn, trot_gains(mech)
 
 
 def make_trot_rti(mech, horizon=40, spec: TrotSpec = TrotSpec(),

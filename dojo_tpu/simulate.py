@@ -47,8 +47,53 @@ def make_step(topo: Topology, opts: SolverOptions = SolverOptions(),
     def step(params: Params, state: BodyState, u=None, fext=None, text=None,
              w_prev=None):
         ctx = make_context(topo, state, params, u, fext, text)
+        contact_reset = None
+        if (
+            w_prev is not None
+            and topo.nc
+            and opts.warm_onset_margin >= 0.0
+        ):
+            # contact-transition re-centering (SolverOptions.warm_onset_*):
+            # a contact whose ACTIVITY is about to flip restarts from the
+            # neutral cone init.  Activation: the carried (γ≈0, s≈gap) pair
+            # is catastrophically off-center once the gap closes — this is
+            # what broke the warm f32 chain at impact states (BENCH_r04:
+            # dense rescue every step, 11× cost).  Separation: the carried
+            # impact-scale γ is equally poisonous when the contact lifts
+            # off (measured on the block toss: the rebound step fails
+            # warm-started even at float64).  Activity prediction uses the
+            # signed distance at the NEXT candidate configuration
+            # (x+hv, q∘exp(hw) — where the contact rows are evaluated), so
+            # fast approaches are detected a full step early regardless of
+            # speed; persistent contact and ballistic flight keep the full
+            # warm start (the ~2× Newton-iteration win).
+            from .contacts import signed_distances
+
+            state_pred = BodyState(
+                x=lie.next_position(state.x, state.v, params.timestep),
+                q=lie.next_orientation(state.q, state.w, params.timestep),
+                v=state.v,
+                w=state.w,
+            )
+            sdf = signed_distances(topo, params, state_pred)
+            half = topo.cw // 2
+            gam_prev = w_prev[topo.contact_off :].reshape(topo.nc, topo.cw)[
+                :, half
+            ]
+            will_touch = sdf < opts.warm_onset_margin
+            was_active = gam_prev > opts.warm_onset_gamma
+            # any flip marks the whole step as an impact/liftoff TRANSIENT:
+            # even the contacts that stay nominally active carry impulses
+            # that change violently across a bounce, and keeping just those
+            # warm still breaks the solve (block-toss step 39: partial
+            # reset fails in 50 iters where the full reset — identical to
+            # a cold start — converges in 5).  Steady stance and ballistic
+            # flight have no flips and keep the full warm start.
+            transient = jnp.any(will_touch != was_active)
+            contact_reset = jnp.broadcast_to(transient, (topo.nc,))
         w0 = init_w(state.v, state.w, params, w_prev=w_prev,
-                    warm_floor=opts.warm_floor)
+                    warm_floor=opts.warm_floor,
+                    contact_reset=contact_reset)
         res = solve(w0, ctx, params, opts)
         nb = topo.nb
         bv = res.w[: 6 * nb].reshape(nb, 6)

@@ -329,7 +329,31 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
         bv = jnp.where(keep, bv, bvio)
         return wc, rv, bv
 
-    def init_w(state_v, state_w, params: Params, w_prev=None, warm_floor=1e-2):
+    def _neutral_contact_blocks(dtype):
+        """(nc, CW) strictly-feasible neutral contact blocks (the cold-init
+        values): [s0, pad, g0, pad] per contact."""
+        blocks = []
+        for c in range(nc):
+            kind = topo.contact_kind[c]
+            nh = CW // 2
+            neutral = ct.neutral_vector(kind, CONTACT_WIDTH[kind] // 2, dtype)
+            if kind == "nonlinear":
+                g_o, s_o = _ort_init(neutral[:1], neutral[:1])
+                g_s, s_s = _soc_init(neutral[1:4], neutral[1:4])
+                s0 = jnp.concatenate([s_o, s_s])
+                g0 = jnp.concatenate([g_o, g_s])
+            else:
+                g0, s0 = _ort_init(neutral, neutral)
+            pad = (
+                jnp.ones(nh - len(neutral), dtype)
+                if nh > len(neutral)
+                else jnp.zeros(0, dtype)
+            )
+            blocks.append(jnp.concatenate([s0, pad, g0, pad]))
+        return jnp.stack(blocks) if nc else jnp.zeros((0, CW), dtype)
+
+    def init_w(state_v, state_w, params: Params, w_prev=None, warm_floor=1e-2,
+               contact_reset=None):
         """Initial point (set_velocity_solution!, reset!, initialize! —
         mehrotra.jl:10-20).
 
@@ -339,7 +363,13 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
         the joint multipliers and cone pairs carry over, re-centered into
         the cone interior by an elementwise floor — steady-state contact
         then converges in roughly half the Newton iterations (BASELINE.md
-        perf lever 3)."""
+        perf lever 3).
+
+        contact_reset: optional (nc,) bool/float mask — contacts flagged 1
+        have their cone block replaced by the neutral init (impact-onset
+        re-centering, simulate.make_step computes the mask from the signed
+        distances + carried impulses; see SolverOptions.warm_onset_margin).
+        Traced data: warm/onset/cold all share one compiled graph."""
         dtype = state_v.dtype
         if w_prev is not None:
             w = w_prev.astype(dtype)
@@ -359,6 +389,12 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
                     w = w.at[idx].set(
                         jnp.concatenate([t0[:, None], blk[:, 1:]], axis=-1)
                     )
+            if contact_reset is not None and nc:
+                neutral = _neutral_contact_blocks(dtype)  # (nc, CW)
+                cur = w[topo.contact_off :].reshape(nc, CW)
+                mask = contact_reset.astype(dtype)[:, None]
+                cur = mask * neutral + (1.0 - mask) * cur
+                w = w.at[topo.contact_off :].set(cur.reshape(-1))
             return w
         parts = [jnp.concatenate([state_v, state_w], axis=-1).reshape(-1)]
         if nj:
@@ -367,25 +403,9 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
             )
             parts.append(jnp.tile(sub, 2 * nj))
         if nc:
-            blocks = []
-            for c in range(nc):
-                kind = topo.contact_kind[c]
-                nh = CW // 2
-                # this kind's true half-width; pad slots (mixed-kind
-                # mechanisms) sit at their anchor value 1
-                neutral = ct.neutral_vector(
-                    kind, CONTACT_WIDTH[kind] // 2, dtype
-                )
-                if kind == "nonlinear":
-                    g_o, s_o = _ort_init(neutral[:1], neutral[:1])
-                    g_s, s_s = _soc_init(neutral[1:4], neutral[1:4])
-                    s0 = jnp.concatenate([s_o, s_s])
-                    g0 = jnp.concatenate([g_o, g_s])
-                else:
-                    g0, s0 = _ort_init(neutral, neutral)
-                pad = jnp.ones(nh - len(neutral), dtype) if nh > len(neutral) else jnp.zeros(0, dtype)
-                blocks.append(jnp.concatenate([s0, pad, g0, pad]))
-            parts.append(jnp.concatenate(blocks))
+            # per-kind neutral blocks, pad slots (mixed-kind mechanisms)
+            # anchored at 1 — see _neutral_contact_blocks
+            parts.append(_neutral_contact_blocks(dtype).reshape(-1))
         return jnp.concatenate(parts)
 
     def solve(w0, ctx: StepContext, params: Params, opts: SolverOptions):

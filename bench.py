@@ -146,7 +146,6 @@ def phase_steps():
     st, w, ok, it = fn(params, batt, u, w_neutral)
     jax.block_until_ready(st)
     t_c = time.perf_counter() - t_c
-    it_cold = float(np.mean(np.asarray(it)))
 
     def run_chain(warm: bool):
         st, w = batt, w_neutral

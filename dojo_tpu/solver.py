@@ -395,6 +395,23 @@ def make_solver(topo: Topology, linsolve: str = "auto"):
                 mask = contact_reset.astype(dtype)[:, None]
                 cur = mask * neutral + (1.0 - mask) * cur
                 w = w.at[topo.contact_off :].set(cur.reshape(-1))
+                if nj:
+                    # a transient step also resets the carried JOINT
+                    # impulses: the reset init is then byte-identical to a
+                    # cold start, which converges where the warm point
+                    # fails (measured: contact-only reset still fired the
+                    # 700 ms dense rescue at the quadruped impact steps —
+                    # the stale joint multipliers alone poison the f32 LDU)
+                    transient = jnp.max(contact_reset.astype(dtype))
+                    sub = jnp.concatenate(
+                        [jnp.ones(4 * ML, dtype), jnp.zeros(3, dtype)]
+                    )
+                    joint_neutral = jnp.tile(sub, 2 * nj)
+                    jsl = slice(topo.joint_off, topo.contact_off)
+                    w = w.at[jsl].set(
+                        transient * joint_neutral
+                        + (1.0 - transient) * w[jsl]
+                    )
             return w
         parts = [jnp.concatenate([state_v, state_w], axis=-1).reshape(-1)]
         if nj:

@@ -205,3 +205,123 @@ def test_cartpole_rti_closed_loop():
     assert abs(yf[2]) < 0.25 * 0.5, yf
     assert abs(yf[0]) < 3.0, yf
     assert np.mean(oks) > 0.99, oks
+
+
+@pytest.mark.slow
+def test_cartpole_rti_rt_closed_loop():
+    """make_rti_rt: the carried-trajectory runtime-gains controller (r5
+    latency-optimal shape — shifted linearization, NO re-rollout, α line
+    search) drives the displaced cartpole toward the origin in closed loop,
+    and a second gain set reuses the same compiled graph."""
+    from dojo_tpu.gradients import make_rollout_linearize_minimal
+    from dojo_tpu.mpc import make_rti_rt
+
+    mech = models.get_mechanism("cartpole", timestep=0.02)
+    ny, nu = mech.minimal_dim, mech.input_dim
+    opts = SolverOptions(rtol=1e-8, btol=1e-8, max_iter=10)
+    H, K = 20, 15
+    y0 = jnp.asarray([0.0, 0.0, 0.5, 0.0])
+    Qd = jnp.asarray([1.0, 0.1, 5.0, 0.1])
+    Rd = jnp.full((nu,), 1e-3)
+    goals = jnp.zeros((H + 1, ny))
+    gains = (Qd, Rd, 10.0 * Qd, jnp.asarray(1e-6), jnp.asarray(1e9))
+
+    init, mpc = make_rti_rt(mech.topo, H, opts, alphas=(1.0, 0.5))
+    plant_step, _, plant_seed = make_rollout_linearize_minimal(
+        mech.topo, SolverOptions(rtol=1e-10, btol=1e-10, max_iter=20)
+    )
+    st, c0, okf0 = jax.jit(init)(
+        mech.params, y0, jnp.zeros((H, nu)), goals, *gains
+    )
+    mpc_j = jax.jit(mpc)
+    plant_j = jax.jit(plant_step)
+    y, w = y0, plant_seed(mech.params, y0)
+    oks = []
+    for _ in range(K):
+        u0, st, c, okf = mpc_j(
+            mech.params, y, st, goals, *gains, st.us[-1]
+        )
+        y, w, _, ok = plant_j(mech.params, y, u0, w)
+        oks.append(float(okf))
+    yf = np.asarray(y)
+    assert np.isfinite(yf).all()
+    assert abs(yf[2]) < 0.25 * 0.5, yf
+    assert abs(yf[0]) < 3.0, yf
+    assert np.mean(oks) > 0.99, oks
+    # different runtime gains, same compiled graph
+    u0b, _, c2, _ = mpc_j(
+        mech.params, y, st, goals, 2.0 * Qd, Rd, 20.0 * Qd,
+        jnp.asarray(1e-2), jnp.asarray(5.0), st.us[-1]
+    )
+    assert np.isfinite(float(c2))
+    assert not np.allclose(np.asarray(u0), np.asarray(u0b))
+
+
+def test_trot_weight_schedule_and_ff_layout():
+    """Per-knot weight schedules scale exactly the thigh/calf position
+    weights between stance and swing, and the feedforward layout maps each
+    actuated joint to its minimal position column and standing angle."""
+    from dojo_tpu.mpc import TrotSpec, trot_gains, trot_weight_schedule
+    from dojo_tpu.mpc.trot import _ff_layout, _layout
+
+    mech = models.get_mechanism("quadruped", timestep=0.05)
+    spec = TrotSpec()
+    H, DT = 12, 0.05
+    g = trot_gains(mech)
+    Qs = trot_weight_schedule(
+        mech, jnp.asarray(0.0), H, DT, spec, g.Qd,
+        swing_scale=2.0, stance_scale=0.5,
+    )
+    assert Qs.shape == (H + 1, len(g.Qd))
+    offs = _layout(mech)
+    ratio = np.asarray(Qs) / np.asarray(g.Qd)[None]
+    sched_cols = {offs[f"{grp}_{p}_joint"]
+                  for grp in ("FR", "FL", "RR", "RL")
+                  for p in ("thigh", "calf")}
+    for col in range(Qs.shape[1]):
+        r = ratio[:, col][np.isfinite(ratio[:, col])]
+        if col in sched_cols:
+            assert r.min() >= 0.5 - 1e-6 and r.max() <= 2.0 + 1e-6
+            assert r.max() - r.min() > 0.5  # actually varies over the gait
+        elif len(r):
+            assert np.allclose(r, 1.0)  # everything else untouched
+
+    cols, stand = _ff_layout(mech, spec)
+    assert len(cols) == 12 and len(stand) == 12
+    name_of = {j: n for n, j in mech.joint_index.items()}
+    k = 0
+    for j in range(mech.topo.nj):
+        nm = name_of[j]
+        if nm == "floating_base":
+            continue
+        assert cols[k] == offs[nm]
+        want = (spec.thigh_stand if nm.endswith("_thigh_joint")
+                else spec.calf_stand if nm.endswith("_calf_joint") else 0.0)
+        assert abs(stand[k] - want) < 1e-12
+        k += 1
+
+
+def test_trot_rt_kff_zero_is_plain_warm_start():
+    """TrotGains.kff=0 reproduces the pre-feedforward controller exactly:
+    the deviation-carry wrapper must be a no-op at zero gain."""
+    from dojo_tpu.mpc import TrotSpec, make_trot_rt
+
+    mech = models.get_mechanism("quadruped", timestep=0.05)
+    H, DT = 3, 0.05
+    opts = SolverOptions(rtol=1e-3, btol=1e-2, max_iter=4)
+    mpc, ref_fn, gains = make_trot_rt(
+        mech, horizon=H, spec=TrotSpec(), opts=opts, dt=DT, alphas=(1.0,)
+    )
+    from dojo_tpu.minimal import maximal_to_minimal
+
+    state0 = models.initialize(mech, "quadruped")
+    y = maximal_to_minimal(mech.topo, mech.params, state0)
+    goals = ref_fn(jnp.asarray(0.0))
+    dus = jnp.zeros((H, 12))
+    u0_a, dus_a, _, _ = mpc(mech.params, y, dus, goals, *gains)
+    # nonzero kff changes the controls; kff=0 run is reproducible
+    gains_ff = gains._replace(kff=jnp.asarray(25.0))
+    u0_b, _, _, _ = mpc(mech.params, y, dus, goals, *gains_ff)
+    u0_c, _, _, _ = mpc(mech.params, y, dus, goals, *gains)
+    assert np.allclose(np.asarray(u0_a), np.asarray(u0_c))
+    assert not np.allclose(np.asarray(u0_a), np.asarray(u0_b))

@@ -143,3 +143,26 @@ def test_quadruped_never_penetrates():
         sdf = np.asarray(dt.signed_distances(mech.topo, mech.params, s))
         min_sdf = min(min_sdf, float(sdf.min()))
     assert min_sdf > -1e-4, min_sdf
+
+
+def test_block_toss_warm_transient_recentering():
+    """The warm-started chain through impact/bounce/rest (r5 fix): the
+    contact-transition re-centering (SolverOptions.warm_onset_*) resets
+    the carried cone AND joint impulses to the neutral init exactly on
+    activity-flip steps, so the warm chain converges everywhere the cold
+    chain does — r4's warm chain failed at every fresh impact (BENCH_r04:
+    753 steps/s, dense rescue each step)."""
+    from dojo_tpu.core import SolverOptions
+    from dojo_tpu.simulate import make_simulate
+
+    mech = models.get_mechanism("block")  # h=0.1: few steps to rest
+    state = models.initialize(
+        mech, "block", position=(0, 0, 1.0), velocity=(1.0, 0.5, 0.0)
+    )
+    sim = make_simulate(mech.topo, SolverOptions())
+    final, traj = jax.jit(
+        lambda p, s: sim(p, s, horizon=150, warm_start=True)
+    )(mech.params, state)
+    assert float(traj.info.success.mean()) == 1.0
+    assert abs(float(final.x[0, 2]) - 0.2511) < 2e-3  # at rest, h=0.1 slack
+    assert float(jnp.abs(final.v).max()) < 1e-8

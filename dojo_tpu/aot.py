@@ -126,6 +126,31 @@ def save_aot(name: str, compiled, config=None, example_args=None,
         return None
 
 
+def update_example_args(name: str, fn, verbose=True, preset=3):
+    """Rewrite the stored example_args of aot/<name>.xz in place:
+    `fn(old_args) -> new_args` (numpy pytrees).  The serialized executable
+    payload and meta are preserved — this is how tuned runtime data (gains,
+    spring params) gets baked into the blob the driver's bench will run,
+    WITHOUT a recompile.  New leaves must keep the compiled input shapes/
+    dtypes; shape drift surfaces at the blob's first call, not here."""
+    import numpy as np  # noqa: F401 — fn typically builds numpy leaves
+
+    path = _path(name)
+    with open(path, "rb") as f:
+        blob = pickle.loads(lzma.decompress(f.read()))
+    blob["example_args"] = fn(blob.get("example_args"))
+    comp = lzma.compress(
+        pickle.dumps(blob, protocol=pickle.HIGHEST_PROTOCOL), preset=preset
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(comp)
+    os.replace(tmp, path)
+    if verbose:
+        print(f"aot: rewrote example_args of {name} ({len(comp)/1e6:.1f} MB)")
+    return path
+
+
 class LoadedAOT:
     """A deserialized executable + its stored example args + metadata."""
 

@@ -31,7 +31,13 @@ from dojo_tpu.cachedir import enable_compile_cache
 enable_compile_cache()
 
 DEFAULTS = dict(kff=0.0, swing=1.0, stance=1.0, joint_w=1.0, reg=10.0,
-                springs=40.0, dampers=4.0, r_mul=1.0, du_max=1e9)
+                springs=40.0, dampers=4.0, r_mul=1.0, du_max=1e9,
+                # gait-geometry fields (TrotSpec) — runtime data through
+                # `goals`, so the spec sweeps on the same executable too
+                vx=0.25, period=0.6, sweep=0.25, thigh_swing=0.30,
+                calf_swing=0.30)
+
+SPEC_KEYS = ("vx", "period", "sweep", "thigh_swing", "calf_swing")
 
 
 def parse_configs():
@@ -63,7 +69,6 @@ def main():
     )
     from dojo_tpu.mpc.trot import trot_reference
 
-    spec = TrotSpec()
     mech = models.get_mechanism("quadruped", timestep=DT).cast(jnp.float32)
 
     config = bench._mpc_config(B)
@@ -76,17 +81,29 @@ def main():
     fn = aot
 
     ts = jnp.arange(K + 1, dtype=jnp.float32) * DT
-    goals_all = jax.jit(jax.vmap(
-        lambda t: trot_reference(mech, t, H, DT, spec)
-    ))(ts)
+    goals_fn = jax.jit(jax.vmap(
+        lambda t, spec_v: trot_reference(
+            mech, t, H, DT, TrotSpec(*spec_v)
+        ),
+        in_axes=(0, None),
+    ))
+
+    def spec_of(c):
+        return TrotSpec(**{
+            f: c[f] for f in SPEC_KEYS if f in TrotSpec._fields
+        })
 
     bcast = lambda tree: jax.tree.map(
         lambda a: jnp.broadcast_to(jnp.asarray(a), (B,) + jnp.shape(a)), tree
     )
-    cmd = spec.vx * K * DT
-    print(f"{'config':44s} {'adv_frac':>8} {'z':>5} {'okf':>5} {'okp':>5} "
-          f"{'s/step':>7}")
+    print(f"{'config':44s} {'adv_frac':>8} {'adv_m':>6} {'z':>5} {'okf':>5} "
+          f"{'okp':>5} {'s/step':>7}")
     for c in parse_configs():
+        spec = spec_of(c)
+        goals_all = goals_fn(ts, tuple(
+            jnp.float32(getattr(spec, f)) for f in TrotSpec._fields
+        ))
+        cmd = c["vx"] * K * DT
         g = trot_gains(mech, joint_w=c["joint_w"], reg=c["reg"],
                        kff=c["kff"], r_mul=c["r_mul"], du_max=c["du_max"],
                        dtype=jnp.float32)
@@ -113,7 +130,7 @@ def main():
         label = ",".join(
             f"{k}={v:g}" for k, v in c.items() if v != DEFAULTS[k]
         ) or "defaults"
-        print(f"{label:44s} {adv / cmd:>8.3f} "
+        print(f"{label:44s} {adv / cmd:>8.3f} {adv:>6.3f} "
               f"{float(np.mean(ys_np[:, 2])):>5.2f} "
               f"{float(np.mean(okfs)):>5.2f} {float(np.mean(oks)):>5.2f} "
               f"{dt_all / K:>7.1f}", flush=True)
